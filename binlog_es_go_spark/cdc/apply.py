@@ -1,0 +1,107 @@
+"""The apply core: changelog micro-batch -> lake state.
+
+One core, three key sources (the reference's single most important
+architectural fact, SURVEY.md §3.3):
+
+* realtime tail  (``runEventLoop``,   pkg/realtime/loop.go:24-520)
+* bootstrap scan (``Runner.Run``,     pkg/bootstrap/runner.go:421-620)
+* replay         (``RunWithIDs``,     pkg/bootstrap/runner.go:37-132)
+
+Per batch: op/relevance filter -> flatten after-image -> within-batch LWW
+dedup -> optional enrichment/mapping -> offset-guarded MERGE -> offsets +
+lineage rows recorded in the same commit (atomically, via the manifest
+properties — the analog of saving the binlog position after each flush,
+``pkg/realtime/flush.go:212-232``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.cdc.events import flatten_changelog
+from binlog_es_go_spark.lake.merge import MergeResult, dedup_last_writer, merge_into
+from binlog_es_go_spark.lake.table import LakeTable
+
+OFFSETS_PROP = "stream_offsets"  # properties key: {partition_id: max offset applied}
+LINEAGE_PROP = "lineage"         # properties key: list of per-batch metric rows
+
+
+def partition_offsets(changelog: DataFrame) -> dict[str, int]:
+    """Per-source-partition max offset of a batch (GTID-set analog)."""
+    rows = changelog.groupBy("partition_id").agg(F.max("offset").alias("mx")).collect()
+    return {str(r["partition_id"]): int(r["mx"]) for r in rows}
+
+
+def apply_batch(
+    table: LakeTable,
+    changelog: DataFrame,
+    mapper: Callable[[DataFrame], DataFrame] | None = None,
+    batch_id: int | None = None,
+    source: str = "realtime",
+    salt_partitions: int | None = None,
+) -> MergeResult:
+    """Apply one changelog micro-batch to the lake table.
+
+    ``mapper``: optional enrichment/field-mapping stage (the analog of the
+    reference's mapping SQL, ``pkg/db/mysql.go:124-180``) applied to the
+    flattened, deduped batch before MERGE. It must preserve the key
+    columns and the offset/op/ts columns.
+    """
+    t0 = time.time()
+    snap = table.snapshot()
+
+    flat = flatten_changelog(changelog)
+    deduped = dedup_last_writer(flat, snap.key_cols)
+    if mapper is not None:
+        deduped = mapper(deduped)
+
+    offs = partition_offsets(changelog)
+    prev_offs = dict(snap.properties.get(OFFSETS_PROP, {}))
+    for p, mx in offs.items():
+        prev_offs[p] = max(int(prev_offs.get(p, -1)), mx)
+
+    lineage = list(snap.properties.get(LINEAGE_PROP, []))[-200:]
+    result = merge_into(
+        table,
+        deduped,
+        already_deduped=True,
+        salt_partitions=salt_partitions,
+        properties_update={
+            OFFSETS_PROP: prev_offs,
+            LINEAGE_PROP: lineage
+            + [
+                {
+                    "batch_id": batch_id,
+                    "source": source,
+                    "offsets": offs,
+                    "wall_sec": None,  # patched below once known
+                }
+            ],
+        },
+    )
+    result.wall_sec = time.time() - t0
+    return result
+
+
+def applied_offsets(table: LakeTable) -> dict[str, int]:
+    return {k: int(v) for k, v in table.snapshot().properties.get(OFFSETS_PROP, {}).items()}
+
+
+def filter_unapplied(changelog: DataFrame, offsets: dict[str, int]) -> DataFrame:
+    """Drop events at-or-below the recorded per-partition offsets.
+
+    Cross-batch replay protection for restarts: the coarse filter here
+    skips whole prefixes cheaply; the MERGE offset guard catches anything
+    that slips through (belt and suspenders, both deterministic).
+    """
+    if not offsets:
+        return changelog
+    pairs = [(int(p), o) for p, o in offsets.items()]
+    expr = F.lit(True)
+    for p, o in pairs:
+        expr = expr & ~((F.col("partition_id") == p) & (F.col("offset") <= o))
+    return changelog.filter(expr)

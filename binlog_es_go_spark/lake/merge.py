@@ -1,0 +1,244 @@
+"""Copy-on-write MERGE with a monotonic-offset guard (exactly-once LWW).
+
+Semantics (the DataFrame re-expression of the reference's sink pair
+``UpsertBulk``/``DeleteBulk`` + ES doc versioning,
+``pkg/es/writer.go:57-81,156-193``, and of deleteOnDelete routing,
+``pkg/realtime/loop.go:317-321``):
+
+    MERGE INTO target t USING source s ON <key_cols>
+      WHEN MATCHED AND s.offset > t.last_offset AND s.op = 'delete' THEN DELETE
+      WHEN MATCHED AND s.offset > t.last_offset                     THEN UPDATE *
+      WHEN NOT MATCHED AND s.op <> 'delete'                         THEN INSERT *
+
+with two strengthenings over the reference:
+
+* the strict ``s.offset > t.last_offset`` guard makes re-applied batches
+  (at-least-once delivery, foreachBatch re-run after crash) no-ops —
+  exactly-once state without a transactional sink;
+* DELETE writes a tombstone (``_deleted=true``, ``last_offset`` kept)
+  instead of physically removing the row, so a *stale* insert replayed
+  after a delete cannot resurrect the key (SURVEY §7 hard part 1).
+
+Physical plan, deliberately:
+
+    1. source → within-batch LWW dedup         (1 shuffle, by key)
+    2. distinct buckets of source keys          (tiny driver collect,
+                                                 bounded by n_buckets)
+    3. target read pruned to those buckets      (file skipping — O(batch),
+                                                 not O(table))
+    4. union(target-subset, deduped source) → window by key
+       ordered by (offset desc, is_target desc, seq desc) → rank 1
+                                                (1 shuffle)
+    5. rewrite only affected buckets, atomic manifest commit
+
+At 100 TB the cost of a micro-batch is proportional to the number of
+buckets its keys hash into, never to table size; raising ``n_buckets``
+trades smaller rewrites against more files (Iceberg's bucket(N, key)
+tuning knob, same math).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlog_es_go_spark.lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    CommitConflict,
+    LakeTable,
+    align_to_schema,
+    bucket_expr,
+    merge_schemas,
+)
+
+OFFSET_COL = "offset"
+OP_COL = "op"
+SEQ_COL = "seq_in_tx"
+TS_COL = "ts"
+ENGINE_COLS = ("last_offset", "last_op", DELETED_COL, "updated_at")
+
+
+@dataclass
+class MergeResult:
+    version: int
+    affected_buckets: list[int]
+    source_rows: int | None = None
+    wall_sec: float | None = None
+
+
+def dedup_last_writer(
+    source: DataFrame, key_cols: list[str], offset_col: str = OFFSET_COL, seq_col: str | None = SEQ_COL
+) -> DataFrame:
+    """Within-batch last-writer-wins: keep the max-(offset, seq) event per key.
+
+    The reference dedups pending key batches order-preservingly
+    (``pkg/realtime/helpers.go:39-53``) and relies on binlog total order;
+    here ordering is explicit: ties on offset break by ``seq_in_tx``
+    (SURVEY §7 hard part 2).
+    """
+    order = [F.col(offset_col).desc()]
+    if seq_col and seq_col in source.columns:
+        order.append(F.col(seq_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        source.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    offset_col: str = OFFSET_COL,
+    op_col: str = OP_COL,
+    seq_col: str | None = SEQ_COL,
+    ts_col: str | None = TS_COL,
+    properties_update: dict | None = None,
+    salt_partitions: int | None = None,
+    max_commit_retries: int = 5,
+    already_deduped: bool = False,
+) -> MergeResult:
+    """Apply a changelog micro-batch to ``table`` (see module docstring).
+
+    ``source`` columns: the table's key columns, any payload columns,
+    ``offset`` (long, monotonic per stream partition), ``op`` in
+    {insert, update, delete}; optional ``seq_in_tx``, ``ts``.
+
+    ``salt_partitions``: number of write tasks to spread rows over.
+    Hot buckets (Zipf-skewed repos all hashing into few buckets) are
+    split across tasks by a secondary salt on the full key — the explicit
+    skew-salting required by the north rule (AQE skew handling does not
+    cover this write-side shuffle).
+    """
+    for attempt in range(max_commit_retries):
+        try:
+            return _merge_once(
+                table, source, offset_col, op_col, seq_col, ts_col,
+                properties_update, salt_partitions, already_deduped,
+            )
+        except CommitConflict:
+            # Optimistic-concurrency retry: re-read the new snapshot and
+            # recompute — the analog of Iceberg commit.retry and of the
+            # reference's conflict recompute
+            # (pkg/pipeline/sink/bulkwriter.go:188-266).
+            if attempt == max_commit_retries - 1:
+                raise
+            time.sleep(0.2 * (2**attempt))  # reference backoff ladder, retry.go:13-15
+    raise AssertionError("unreachable")
+
+
+def _merge_once(
+    table: LakeTable,
+    source: DataFrame,
+    offset_col: str,
+    op_col: str,
+    seq_col: str | None,
+    ts_col: str | None,
+    properties_update: dict | None,
+    salt_partitions: int | None,
+    already_deduped: bool,
+) -> MergeResult:
+    snap = table.snapshot()
+    key_cols = snap.key_cols
+
+    payload_cols = [
+        c for c in source.columns
+        if c not in key_cols
+        and c not in (offset_col, op_col, seq_col, ts_col, BUCKET_COL)
+        and c not in ENGINE_COLS
+    ]
+
+    src = source if already_deduped else dedup_last_writer(source, key_cols, offset_col, seq_col)
+    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
+
+    # Affected-bucket discovery: at most n_buckets ints — a safe collect.
+    affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        return MergeResult(version=snap.version, affected_buckets=[])
+
+    # Schema evolution: new payload columns widen the table schema.
+    incoming = T.StructType(
+        [f for f in src.schema.fields if f.name in key_cols]
+        + [f for f in src.schema.fields if f.name in payload_cols]
+    )
+    new_schema = merge_schemas(snap.schema, incoming)
+
+    ts_expr = F.col(ts_col).cast("timestamp") if ts_col and ts_col in src.columns else F.lit(None).cast("timestamp")
+    src_norm = src.select(
+        *key_cols,
+        *[F.col(c) for c in payload_cols],
+        F.col(offset_col).cast("long").alias("last_offset"),
+        F.col(op_col).alias("last_op"),
+        (F.col(op_col) == F.lit("delete")).alias(DELETED_COL),
+        ts_expr.alias("updated_at"),
+        F.col(BUCKET_COL),
+        F.lit(0).alias("_is_target"),
+    )
+    # Delete events carry no after-image: null their payload so a delete
+    # winner becomes a pure tombstone.
+    for c in payload_cols:
+        src_norm = src_norm.withColumn(
+            c,
+            F.when(F.col(DELETED_COL), F.lit(None).cast(src_norm.schema[c].dataType)).otherwise(F.col(c)),
+        )
+
+    # Tombstones included: they hold the offset guard for their key.
+    target = table.read(buckets=affected, include_deleted=True)
+    target = align_to_schema(target, new_schema)
+    tgt_norm = target.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets)).withColumn(
+        "_is_target", F.lit(1)
+    )
+
+    combined = align_union(src_norm, tgt_norm, new_schema)
+
+    # One window resolves everything: the max-offset row per key wins;
+    # on equal offsets the target row wins (strict-> guard); source rows
+    # were already seq-deduped so no further tiebreak is needed.
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("last_offset").desc_nulls_last(), F.col("_is_target").desc()
+    )
+    winners = (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_target")
+    )
+
+    # Spread the write across tasks; the salt column splits hot buckets.
+    n_out = salt_partitions or table.spark.sparkContext.defaultParallelism
+    salt = F.pmod(
+        F.crc32(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])),
+        F.lit(max(1, n_out)),
+    )
+    winners = winners.repartition(max(1, n_out), F.col(BUCKET_COL), salt)
+
+    new_snap = table.write_buckets(
+        winners,
+        replaced_buckets=affected,
+        new_schema=new_schema,
+        properties_update=properties_update,
+        expected_version=snap.version,
+    )
+    return MergeResult(version=new_snap.version, affected_buckets=sorted(affected))
+
+
+def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:
+    cols = [f.name for f in schema.fields] + [BUCKET_COL, "_is_target"]
+
+    def proj(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        exprs = []
+        for f in schema.fields:
+            if f.name in have:
+                exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+        exprs += [F.col(BUCKET_COL), F.col("_is_target")]
+        return df.select(*exprs)
+
+    return proj(a).unionByName(proj(b).select(*cols))

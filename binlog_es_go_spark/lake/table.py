@@ -1,0 +1,325 @@
+"""LakeTable: bucketed parquet table with versioned JSON manifests.
+
+Layout on disk::
+
+    <root>/VERSION              current snapshot version (int, atomic replace)
+    <root>/manifest-<v>.json    snapshot manifest
+    <root>/data/<commit-uuid>/_bucket=<k>/part-*.parquet   immutable data
+
+Manifest schema::
+
+    {
+      "version": 3,
+      "parent": 2,
+      "key_cols": ["repo", "path"],
+      "n_buckets": 64,
+      "schema": <Spark StructType json>,
+      "buckets": {"0": ["data/u1/_bucket=0/f.parquet", ...], ...},
+      "properties": {...},          # free-form (per-partition offsets live here too)
+      "stats": {"rows": 12345}
+    }
+
+Commit protocol (single commit point, like Iceberg's metadata pointer):
+write ``manifest-<v+1>.json`` fully, then atomically ``os.replace`` a tmp
+file onto ``VERSION``. Readers load VERSION then the manifest — they see
+either the old snapshot or the new one, never a partial write. Mirrors the
+reference's atomic position persistence (``pkg/position/store.go:55-72``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"
+# Unit separator: never appears in keys, so concat_ws is injective.
+KEY_SEP = "\x1f"
+
+
+class CommitConflict(Exception):
+    """Another writer committed first; caller should re-read and retry."""
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Bucket id for a row: crc32 of the unit-separated key columns.
+
+    crc32 is a JVM builtin (whole-stage codegen, no Python), and CRC-32/IEEE
+    matches the reference's default shard strategy ``crc32_ieee_uint32``
+    (``pkg/realtime/helpers.go:104-123``), so routing is reproducible
+    cross-language — validated against the README golden vectors in tests.
+    """
+    key = F.concat_ws(KEY_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])
+    return F.pmod(F.crc32(key), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    key_cols: list[str]
+    n_buckets: int
+    schema: T.StructType
+    buckets: dict[int, list[str]]  # bucket id -> relative file paths
+    properties: dict[str, Any]
+    stats: dict[str, Any]
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 64,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if os.path.exists(os.path.join(root, "VERSION")):
+            raise FileExistsError(f"table already exists at {root}")
+        table = cls(spark, root)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            key_cols=list(key_cols),
+            n_buckets=n_buckets,
+            schema=cls._with_engine_cols(schema, key_cols),
+            buckets={},
+            properties=properties or {},
+            stats={"rows": 0},
+        )
+        table._write_manifest(snap)
+        table._swap_version(0, expected_parent=None)
+        return table
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "VERSION"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        if not cls.exists(root):
+            raise FileNotFoundError(f"no lake table at {root}")
+        return cls(spark, root)
+
+    @staticmethod
+    def _with_engine_cols(schema: T.StructType, key_cols: list[str]) -> T.StructType:
+        """Engine-managed columns appended after user columns.
+
+        ``last_offset``/``last_op`` carry the monotonic-offset LWW guard
+        (the exactly-once mechanism); ``_deleted`` retains tombstones so a
+        replayed stale insert after a delete stays dead (SURVEY §7 hard
+        part 1: delete-then-reinsert ordering).
+        """
+        names = {f.name for f in schema.fields}
+        fields = list(schema.fields)
+        for name, typ in [
+            ("last_offset", T.LongType()),
+            ("last_op", T.StringType()),
+            (DELETED_COL, T.BooleanType()),
+            ("updated_at", T.TimestampType()),
+        ]:
+            if name not in names:
+                fields.append(T.StructField(name, typ, True))
+        return T.StructType(fields)
+
+    # ----------------------------------------------------------- snapshots
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "VERSION")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.root, f"manifest-{v}.json")) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            parent=m.get("parent"),
+            key_cols=m["key_cols"],
+            n_buckets=m["n_buckets"],
+            schema=T.StructType.fromJson(m["schema"]),
+            buckets={int(k): v for k, v in m["buckets"].items()},
+            properties=m.get("properties", {}),
+            stats=m.get("stats", {}),
+        )
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        m = {
+            "version": snap.version,
+            "parent": snap.parent,
+            "key_cols": snap.key_cols,
+            "n_buckets": snap.n_buckets,
+            "schema": snap.schema.jsonValue(),
+            "buckets": {str(k): v for k, v in snap.buckets.items()},
+            "properties": snap.properties,
+            "stats": snap.stats,
+        }
+        path = os.path.join(self.root, f"manifest-{snap.version}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _swap_version(self, new_version: int, expected_parent: int | None) -> None:
+        """Atomic commit point with optimistic concurrency."""
+        vpath = os.path.join(self.root, "VERSION")
+        if expected_parent is not None:
+            cur = self.current_version()
+            if cur != expected_parent:
+                raise CommitConflict(f"expected v{expected_parent}, found v{cur}")
+        tmp = vpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, vpath)
+
+    # ---------------------------------------------------------------- read
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (optionally pruned to specific buckets).
+
+        Bucket pruning is the local analog of Iceberg partition pruning:
+        a MERGE micro-batch only ever reads the buckets its keys hash to.
+        """
+        snap = self.snapshot(version)
+        want = snap.buckets if buckets is None else {b: snap.buckets.get(b, []) for b in buckets}
+        files = [os.path.join(self.root, p) for paths in want.values() for p in paths]
+        if not files:
+            df = self.spark.createDataFrame([], snap.schema)
+        else:
+            # mergeSchema unifies files written before/after a schema
+            # evolution; alignment below null-pads columns added later.
+            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            df = align_to_schema(df, snap.schema)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return df
+
+    def row_count(self) -> int:
+        return self.read().count()
+
+    # --------------------------------------------------------------- write
+    def write_buckets(
+        self,
+        df: DataFrame,
+        replaced_buckets: list[int],
+        new_schema: T.StructType | None = None,
+        properties_update: dict[str, Any] | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot replacing ``replaced_buckets`` with ``df``.
+
+        ``df`` must already carry ``_bucket`` and contain only rows whose
+        bucket is in ``replaced_buckets``. Unchanged buckets keep their old
+        files — copy-on-write at bucket granularity.
+        """
+        base = self.snapshot(expected_version)
+        schema = new_schema or base.schema
+        commit_id = uuid.uuid4().hex
+        rel_dir = os.path.join("data", commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+
+        ordered = [f.name for f in schema.fields]
+        out = align_to_schema(df, schema).select(BUCKET_COL, *ordered)
+        out.write.partitionBy(BUCKET_COL).parquet(out_dir, mode="errorifexists")
+
+        new_files: dict[int, list[str]] = {}
+        if os.path.exists(out_dir):
+            for entry in os.listdir(out_dir):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                bdir = os.path.join(out_dir, entry)
+                new_files[b] = [
+                    os.path.join(rel_dir, entry, fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+
+        buckets = dict(base.buckets)
+        for b in replaced_buckets:
+            buckets.pop(b, None)
+        for b, fl in new_files.items():
+            buckets[b] = fl
+
+        props = dict(base.properties)
+        props.update(properties_update or {})
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            key_cols=base.key_cols,
+            n_buckets=base.n_buckets,
+            schema=schema,
+            buckets=buckets,
+            properties=props,
+            stats={"rows": None, "committed_at": time.time()},
+        )
+        self._write_manifest(snap)
+        self._swap_version(snap.version, expected_parent=base.version)
+        return snap
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        snap = self.snapshot()
+        return df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``: missing columns null, types cast.
+
+    This is the schema-evolution read path: old files lack newly added
+    columns and get null-padded; new files read under an old plan drop
+    extras. Extra columns present in ``df`` but not in ``schema`` are kept
+    only if they are engine-internal (``_bucket``).
+    """
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if BUCKET_COL in have:
+        cols.append(F.col(BUCKET_COL))
+    return df.select(*cols)
+
+
+def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Column-union schema merge (ALTER TABLE ADD COLUMN analog).
+
+    New columns append after existing ones; existing columns keep their
+    type (no narrowing). The reference's answer to evolution is a lazily
+    populated, never-invalidated column-name cache
+    (``pkg/realtime/schema_cache.go:21-52``) — this is the strictly
+    stronger lake-side version.
+    """
+    names = {f.name for f in base.fields}
+    fields = list(base.fields)
+    for f in incoming.fields:
+        if f.name not in names and f.name != BUCKET_COL:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)

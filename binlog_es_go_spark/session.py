@@ -1,0 +1,52 @@
+"""SparkSession builders tuned for the CDC engine.
+
+The reference runs a single Go process (SURVEY.md §3.1: the realtime loop is
+single-goroutine). Our unit of parallelism is Spark tasks; everything below
+scales by changing ``parallelism`` — this is how the N -> 4N scaling
+criterion is evidenced in the sandbox (local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "binlog-es-go-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create a local SparkSession sized to ``parallelism`` cores.
+
+    Shuffle partitions scale with cores (1x by default) so the same job,
+    run at two parallelism levels, changes only its task-level concurrency
+    — the plan shape stays identical, which is what makes the two-level
+    throughput comparison a fair scaling-efficiency measurement.
+    """
+    cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_or_create(spark: SparkSession | None = None) -> SparkSession:
+    return spark or build_session()
