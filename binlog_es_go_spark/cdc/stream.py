@@ -1,0 +1,102 @@
+"""Structured Streaming tail: the realtime mode.
+
+The reference's realtime loop (``pkg/realtime/loop.go:24-520``) hand-rolls
+event batching (count/time/overflow triggers, :44-91,:476-513), reconnect
+(:140-175) and position persistence (:92-111). Structured Streaming owns
+all of that here:
+
+* micro-batching     -> ``trigger(processingTime=...)`` / availableNow
+* rate limiting      -> ``maxFilesPerTrigger`` (maxPending analog)
+* reconnect/restart  -> checkpoint dir; restart resumes from the last
+                        committed source offsets
+* position store     -> checkpoint WAL + our per-partition offsets in the
+                        lake manifest (saved atomically with the data, the
+                        way the reference saves its position after each
+                        flush, pkg/realtime/flush.go:212-232)
+
+The changelog source here is a parquet file stream (a directory that an
+upstream binlog/WAL shipper appends event files to — the lake-native stand-
+in for a Kafka/Debezium feed; swapping in Kafka changes one line of
+``readStream``). Exactly-once comes from the MERGE offset guard, NOT from
+the checkpoint: a batch re-run after a crash re-merges and no-ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from binlog_es_go_spark.cdc.apply import apply_batch
+from binlog_es_go_spark.cdc.events import CHANGELOG_SCHEMA
+from binlog_es_go_spark.lake.table import LakeTable
+
+
+def changelog_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: T.StructType = CHANGELOG_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(events_dir)
+
+
+def start_tail(
+    table: LakeTable,
+    changelog: DataFrame,
+    checkpoint_dir: str,
+    mapper: Callable[[DataFrame], DataFrame] | None = None,
+    relevant_ops: tuple[str, ...] = ("insert", "update", "delete"),
+    trigger: dict | None = None,
+    on_error: Callable[[int, DataFrame, Exception], None] | None = None,
+    salt_partitions: int | None = None,
+) -> StreamingQuery:
+    """Start the incremental tail; returns the StreamingQuery handle.
+
+    ``on_error``: dead-letter hook — called with (batch_id, batch_df, exc)
+    when a batch fails after Spark-level retries; the batch is then skipped
+    (the reference's dead-letter-and-continue policy,
+    ``pkg/bootstrap/runner.go:135-163``). Without a hook, errors propagate
+    and stop the query (fail-stop).
+    """
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("op").isin(*relevant_ops))
+        try:
+            apply_batch(
+                table, batch, mapper=mapper, batch_id=batch_id,
+                source="realtime", salt_partitions=salt_partitions,
+            )
+        except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+            if on_error is None:
+                raise
+            on_error(batch_id, batch_df, exc)
+
+    writer = changelog.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def run_tail_until_drained(
+    table: LakeTable,
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: float = 600,
+    **kwargs,
+) -> None:
+    """Convenience: process everything currently in the source, then stop."""
+    stream = changelog_stream(spark, events_dir, **({k: kwargs.pop(k) for k in ("max_files_per_trigger",) if k in kwargs}))
+    q = start_tail(table, stream, checkpoint_dir, trigger={"availableNow": True}, **kwargs)
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+    finally:
+        if q.isActive:
+            q.stop()
