@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines — all JVM builtins.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Each operator
+is a pure Column expression, so the whole suite runs inside whole-stage
+codegen and is expressible 1:1 in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.operators.functions import content_fingerprint, words
+
+# tiny deterministic stopword profiles (heuristic language ID)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "para"],
+}
+
+
+def _profile_hits(col: Column, profile: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(profile) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 1))
+
+
+def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hit counts.
+
+    Ties and zero-hit documents resolve to 'und' (undetermined) — fully
+    deterministic; the scale path is identical (one regexp pass per
+    profile, codegen'd).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    profs = profiles or LANG_PROFILES
+    scores = [(name, _profile_hits(c, words_)) for name, words_ in profs.items()]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # build reverse so earlier profiles win ties deterministically
+    for name, score in reversed(scores):
+        result = F.when((score == best) & (best > 0), F.lit(name)).otherwise(result)
+    return result
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish subword count: word chunks + digits + punctuation runs.
+
+    A deterministic proxy for tokenizer counts (GPT-style regex family):
+    matches of `[A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\\s]` — long words
+    split every 8 chars, number runs every 3 digits, punctuation 1:1.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"([A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\s])"), 1))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-signal features: length, word stats, punct/stopword ratios."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(c)
+    n_words = F.size(w)
+    n_chars = F.length(c)
+    mean_word_len = F.when(n_words > 0, (F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))).cast("double") / n_words).otherwise(F.lit(0.0))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"([^\w\s])"), 1))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_hits = _profile_hits(c, LANG_PROFILES["en"])
+    stopword_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: longer, wordier, punct-sane text
+    scores higher. Deterministic weighted clamp of the features."""
+    f = quality_features(col)
+    len_score = F.least(f["n_words"].cast("double") / F.lit(100.0), F.lit(1.0))
+    word_len_score = F.when(
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    punct_score = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.2))
+    stop_score = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    return (
+        len_score * F.lit(0.4) + word_len_score * F.lit(0.2) + punct_score * F.lit(0.2) + stop_score * F.lit(0.2)
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Normalized md5 document fingerprint (exact-dup identity)."""
+    return content_fingerprint(col)
+
+
+def rolling_fingerprints(col: Column | str, window: int = 8, keep_every: int = 4) -> Column:
+    """Winnowing-style rolling fingerprints: hash each word w-gram, keep
+    hashes ≡ 0 mod keep_every — a deterministic sparse signature robust to
+    local edits (near-dup evidence / plagiarism-style matching)."""
+    w = words(col)
+    k = F.size(w) - F.lit(window - 1)
+    grams = F.when(
+        k > 0, F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
+    return F.sort_array(F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(keep_every)) == 0)))

@@ -1,0 +1,219 @@
+"""Dedup family, ANN similarity, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from binlog_es_go_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from binlog_es_go_spark.operators.similarity import cosine_topk, cosine_topk_np, ivf_topk
+from binlog_es_go_spark.operators.text import (
+    lang_id,
+    quality_score,
+    rolling_fingerprints,
+    token_count_bpe,
+    token_count_ws,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.cache().count()
+    return e
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different"), (4, "HELLO WORLD ")],
+        ["doc_id", "text"],
+    )
+    groups = exact_duplicates(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2, 4]
+    kept = dedup_exact(df, "text", "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+
+def test_minhash_signature_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely unrelated text about spark query engines")],
+        ["doc_id", "text"],
+    )
+    sigs = df.select("doc_id", minhash_signature("text", k=64).alias("sig")).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert all(len(s) == 64 for s in by_id.values())
+    sim_close = sum(a == b for a, b in zip(by_id[1], by_id[2])) / 64
+    sim_far = sum(a == b for a, b in zip(by_id[1], by_id[3])) / 64
+    assert sim_close > 0.5 > sim_far
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant a near-duplicate of an existing doc
+    base = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    mutated = base.rsplit(" ", 2)[0] + " mutated tail"
+    planted = spark.createDataFrame([(100000, mutated)], ["doc_id", "text"])
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = minhash_lsh_candidates(corpus, "text", "doc_id", k=64, bands=16).filter(
+        "est_jaccard >= 0.5"
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")], ["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=2, threshold=0.1).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # shingles(1)={ab,bc,cd,de,ef}, shingles(2)={ab,bc,cd,de,eg}: 4/6
+    assert (p["id_a"], p["id_b"]) == (1, 2) and abs(p["jaccard"] - 4 / 6) < 1e-9
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3),
+         (2, "the quick brown fox jumps over the lazy cat " * 3),
+         (3, "entirely different content about database engines and storage")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dups(df, "text", "doc_id", max_hamming=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 3) not in found
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(df, "embedding", "vec_id", threshold=0.95, n_planes=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 3) not in found
+
+
+# ------------------------------------------------------------- similarity
+def test_cosine_topk_exact_vs_np(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    corpus = embeddings
+    k = 5
+    a = cosine_topk(corpus, queries, "embedding", "vec_id", "vec_id", k=k)
+    b = cosine_topk_np(corpus, queries, "embedding", "vec_id", "vec_id", k=k)
+    ra = {(r["query_id"], r["rank"]): r["doc_id"] for r in a.collect()}
+    rb = {(r["query_id"], r["rank"]): r["doc_id"] for r in b.collect()}
+    assert ra == rb
+    # self-similarity must rank first
+    assert all(ra[(q, 1)] == q for q in range(3))
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(embeddings, queries, "embedding", "vec_id", "vec_id", k=1)
+    approx = ivf_topk(embeddings, queries, "embedding", "vec_id", "vec_id", k=1, n_planes=4)
+    # query's own vector shares its bucket, so rank-1 self-hit always survives
+    got = {r["query_id"]: r["doc_id"] for r in approx.collect()}
+    exp = {r["query_id"]: r["doc_id"] for r in exact.collect()}
+    hits = sum(got.get(q) == d for q, d in exp.items())
+    assert hits >= 8  # >=80% recall@1 on self-similar corpus
+
+
+# ------------------------------------------------------------------- text
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in that house and it is warm"),
+         (2, "der Hund und die Katze ist nicht ein Problem zu haben"),
+         (3, "le chat est dans la maison et les enfants pour une fois"),
+         (4, "zzz qqq xxx")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 12345 extraordinarily!")], ["id", "text"])
+    r = df.select(token_count_ws("text").alias("ws"), token_count_bpe("text").alias("bpe")).first()
+    assert r["ws"] == 4
+    # hello(1) world(1) ,(1) 123+45(2) extraordi+narily(2) !(1) = 8
+    assert r["bpe"] == 8
+
+
+def test_quality_score_ordering(spark, docs):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs through the field " * 8),
+         (2, "!!! ??? ### $$$ %%%")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert got[1] > 0.6 > got[2]
+    # runs over the real documents table without error, bounded [0,1]
+    stats = docs.select(quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
+
+
+def test_rolling_fingerprints_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    edited = base.replace("delta", "DELTA", 1)
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "unrelated words entirely " * 10)], ["id", "text"])
+    fps = {r["id"]: set(r["fp"]) for r in df.select("id", rolling_fingerprints("text").alias("fp")).collect()}
+    inter_close = len(fps[1] & fps[2])
+    inter_far = len(fps[1] & fps[3])
+    assert inter_close > inter_far
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] == 64 for r in rows)  # sha2-512 payload = 64 bytes
+    assert all(0 <= r["byte_mean"] <= 255 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["head_sha256"] for r in extract_features(media).collect()}
+    assert again == {r["media_id"]: r["head_sha256"] for r in rows}
+
+
+def test_multimodal_codec_stub_raises(spark):
+    media = synthesize_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_features(media, require_codecs=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=100)
+    got = plan.groupBy("media_id").count().collect()
+    vids = {r["media_id"]: r["count"] for r in got}
+    # media_id 2,5,8 are videos with duration 200,500,800ms
+    assert vids[2] == 2 and vids[5] == 5 and vids[8] == 8
