@@ -36,6 +36,23 @@ def partition_offsets(changelog: DataFrame) -> dict[str, int]:
     return {str(r["partition_id"]): int(r["mx"]) for r in rows}
 
 
+def _batch_metadata(flat: DataFrame, key_cols: list[str], n_buckets: int) -> tuple[dict[str, int], list[int]]:
+    """Per-partition max offsets AND affected buckets in ONE column-pruned
+    scan — metadata jobs are a serial cost per micro-batch, so they are
+    folded together (8 groups x small sets collected to the driver)."""
+    from binlog_es_go_spark.lake.table import bucket_expr
+
+    rows = (
+        flat.select("partition_id", "offset", bucket_expr(key_cols, n_buckets).alias("_b"))
+        .groupBy("partition_id")
+        .agg(F.max("offset").alias("mx"), F.collect_set("_b").alias("buckets"))
+        .collect()
+    )
+    offs = {str(r["partition_id"]): int(r["mx"]) for r in rows}
+    buckets = sorted({b for r in rows for b in r["buckets"]})
+    return offs, buckets
+
+
 def apply_batch(
     table: LakeTable,
     changelog: DataFrame,
@@ -43,6 +60,7 @@ def apply_batch(
     batch_id: int | None = None,
     source: str = "realtime",
     salt_partitions: int | None = None,
+    prune_buckets: bool = True,
 ) -> MergeResult:
     """Apply one changelog micro-batch to the lake table.
 
@@ -55,11 +73,21 @@ def apply_batch(
     snap = table.snapshot()
 
     flat = flatten_changelog(changelog)
-    deduped = dedup_last_writer(flat, snap.key_cols)
+    if prune_buckets:
+        # incremental tail: a micro-batch touches few buckets — discover
+        # them (plus per-partition offsets) in one column-pruned scan so
+        # the MERGE reads O(batch) target files, not O(table)
+        offs, buckets = _batch_metadata(flat, snap.key_cols, snap.n_buckets)
+    else:
+        # bulk replay/bootstrap: batches touch ~every bucket, so bucket
+        # discovery is pure serial overhead — read only the two int
+        # columns for offsets and rewrite all buckets (copy-on-write)
+        offs = partition_offsets(changelog)
+        buckets = list(range(snap.n_buckets))
     if mapper is not None:
-        deduped = mapper(deduped)
-
-    offs = partition_offsets(changelog)
+        # mapping runs on the deduped batch (recompute once per key, the
+        # reference's batch-recompute amortization, flush.go:39)
+        flat = mapper(dedup_last_writer(flat, snap.key_cols))
     prev_offs = dict(snap.properties.get(OFFSETS_PROP, {}))
     for p, mx in offs.items():
         prev_offs[p] = max(int(prev_offs.get(p, -1)), mx)
@@ -67,8 +95,9 @@ def apply_batch(
     lineage = list(snap.properties.get(LINEAGE_PROP, []))[-200:]
     result = merge_into(
         table,
-        deduped,
-        already_deduped=True,
+        flat,
+        already_deduped=mapper is not None,
+        affected_buckets=buckets,
         salt_partitions=salt_partitions,
         properties_update={
             OFFSETS_PROP: prev_offs,

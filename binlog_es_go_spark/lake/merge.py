@@ -103,6 +103,7 @@ def merge_into(
     salt_partitions: int | None = None,
     max_commit_retries: int = 5,
     already_deduped: bool = False,
+    affected_buckets: list[int] | None = None,
 ) -> MergeResult:
     """Apply a changelog micro-batch to ``table`` (see module docstring).
 
@@ -120,7 +121,7 @@ def merge_into(
         try:
             return _merge_once(
                 table, source, offset_col, op_col, seq_col, ts_col,
-                properties_update, salt_partitions, already_deduped,
+                properties_update, salt_partitions, already_deduped, affected_buckets,
             )
         except CommitConflict:
             # Optimistic-concurrency retry: re-read the new snapshot and
@@ -143,6 +144,7 @@ def _merge_once(
     properties_update: dict | None,
     salt_partitions: int | None,
     already_deduped: bool,
+    affected_buckets: list[int] | None = None,
 ) -> MergeResult:
     snap = table.snapshot()
     key_cols = snap.key_cols
@@ -154,11 +156,21 @@ def _merge_once(
         and c not in ENGINE_COLS
     ]
 
-    src = source if already_deduped else dedup_last_writer(source, key_cols, offset_col, seq_col)
-    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
+    # Within-batch dedup is FUSED into the merge window below (one wide
+    # shuffle instead of two): the window's (offset desc, is_target desc,
+    # seq desc) ordering resolves batch-internal LWW and the cross-batch
+    # guard in a single rank. A separate dedup pass would shuffle the full
+    # content twice for nothing.
+    has_seq = bool(seq_col) and seq_col in source.columns
+    src = source.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
 
     # Affected-bucket discovery: at most n_buckets ints — a safe collect.
-    affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    # Callers that already know the set (the apply core computes it in the
+    # same scan as partition offsets) pass it in to save a job.
+    if affected_buckets is not None:
+        affected = list(affected_buckets)
+    else:
+        affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
     if not affected:
         return MergeResult(version=snap.version, affected_buckets=[])
 
@@ -179,6 +191,7 @@ def _merge_once(
         ts_expr.alias("updated_at"),
         F.col(BUCKET_COL),
         F.lit(0).alias("_is_target"),
+        (F.col(seq_col).cast("long") if has_seq else F.lit(0).cast("long")).alias("_seq"),
     )
     # Delete events carry no after-image: null their payload so a delete
     # winner becomes a pure tombstone.
@@ -191,22 +204,24 @@ def _merge_once(
     # Tombstones included: they hold the offset guard for their key.
     target = table.read(buckets=affected, include_deleted=True)
     target = align_to_schema(target, new_schema)
-    tgt_norm = target.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets)).withColumn(
-        "_is_target", F.lit(1)
+    tgt_norm = (
+        target.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
+        .withColumn("_is_target", F.lit(1))
+        .withColumn("_seq", F.lit(0).cast("long"))
     )
 
     combined = align_union(src_norm, tgt_norm, new_schema)
 
-    # One window resolves everything: the max-offset row per key wins;
-    # on equal offsets the target row wins (strict-> guard); source rows
-    # were already seq-deduped so no further tiebreak is needed.
+    # ONE window resolves everything: max offset per key wins; on equal
+    # offsets the target wins (the strict > guard); among source rows with
+    # equal offsets, seq_in_tx breaks the tie (SURVEY §7 hard part 2).
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col("last_offset").desc_nulls_last(), F.col("_is_target").desc()
+        F.col("last_offset").desc_nulls_last(), F.col("_is_target").desc(), F.col("_seq").desc()
     )
     winners = (
         combined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_target")
+        .drop("_rn", "_is_target", "_seq")
     )
 
     # Spread the write across tasks; the salt column splits hot buckets.
@@ -228,7 +243,7 @@ def _merge_once(
 
 
 def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:
-    cols = [f.name for f in schema.fields] + [BUCKET_COL, "_is_target"]
+    extras = [BUCKET_COL, "_is_target", "_seq"]
 
     def proj(df: DataFrame) -> DataFrame:
         have = set(df.columns)
@@ -238,7 +253,7 @@ def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:
                 exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
-        exprs += [F.col(BUCKET_COL), F.col("_is_target")]
+        exprs += [F.col(c) for c in extras]
         return df.select(*exprs)
 
-    return proj(a).unionByName(proj(b).select(*cols))
+    return proj(a).unionByName(proj(b))

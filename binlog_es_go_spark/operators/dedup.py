@@ -278,7 +278,9 @@ def embedding_near_dups(
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket_bits().alias("bkt"))
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), bucket_bits().alias("bkt")
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

@@ -44,8 +44,12 @@ def cosine_topk(
     is scanned exactly once with no shuffle; the only shuffle is the
     per-query top-k window.
     """
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")))
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv"))
+    # cast to double BEFORE any arithmetic: float32 products then widened
+    # would diverge from an all-double oracle at the last bits
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv"))
     scored = c.crossJoin(q).select(
         "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")
     )
@@ -129,9 +133,9 @@ def ivf_topk(
     dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
 
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("dv"),
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv"),
                       hyperplane_bucket(vec_col, planes).alias("bkt"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"),
                        hyperplane_bucket(vec_col, planes).alias("bkt"))
     scored = c.join(F.broadcast(q), on="bkt").select(
         "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")

