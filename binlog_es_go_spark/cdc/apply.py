@@ -61,6 +61,7 @@ def apply_batch(
     source: str = "realtime",
     salt_partitions: int | None = None,
     prune_buckets: bool = True,
+    stream_partitions: int | None = None,
 ) -> MergeResult:
     """Apply one changelog micro-batch to the lake table.
 
@@ -68,11 +69,20 @@ def apply_batch(
     reference's mapping SQL, ``pkg/db/mysql.go:124-180``) applied to the
     flattened, deduped batch before MERGE. It must preserve the key
     columns and the offset/op/ts columns.
+
+    ``stream_partitions``: when the source-partition count is known (it is
+    a fixed property of the upstream binlog/WAL shipper, like the
+    reference's replication stream identity), per-partition max offsets
+    are collected as Observation metrics DURING the merge write itself —
+    zero extra jobs per batch. Unknown -> a dedicated column-pruned scan.
     """
     t0 = time.time()
     snap = table.snapshot()
 
     flat = flatten_changelog(changelog)
+
+    obs = None
+    offs: dict[str, int] = {}
     if prune_buckets:
         # incremental tail: a micro-batch touches few buckets — discover
         # them (plus per-partition offsets) in one column-pruned scan so
@@ -80,37 +90,70 @@ def apply_batch(
         offs, buckets = _batch_metadata(flat, snap.key_cols, snap.n_buckets)
     else:
         # bulk replay/bootstrap: batches touch ~every bucket, so bucket
-        # discovery is pure serial overhead — read only the two int
-        # columns for offsets and rewrite all buckets (copy-on-write)
-        offs = partition_offsets(changelog)
+        # discovery is pure serial overhead — rewrite all buckets
         buckets = list(range(snap.n_buckets))
+        if stream_partitions is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            flat = flat.observe(
+                obs,
+                *[
+                    F.max(F.when(F.col("partition_id") == p, F.col("offset"))).alias(f"p{p}")
+                    for p in range(stream_partitions)
+                ],
+                F.max("partition_id").alias("max_pid"),
+            )
+        else:
+            offs = partition_offsets(changelog)
+
+    # partition_id is stream metadata, not document payload
+    flat = flat.drop("partition_id")
+
     if mapper is not None:
         # mapping runs on the deduped batch (recompute once per key, the
         # reference's batch-recompute amortization, flush.go:39)
         flat = mapper(dedup_last_writer(flat, snap.key_cols))
-    prev_offs = dict(snap.properties.get(OFFSETS_PROP, {}))
-    for p, mx in offs.items():
-        prev_offs[p] = max(int(prev_offs.get(p, -1)), mx)
 
     lineage = list(snap.properties.get(LINEAGE_PROP, []))[-200:]
+
+    def props_after_write() -> dict:
+        batch_offs = dict(offs)
+        if obs is not None:
+            got = obs.get
+            max_pid = got.get("max_pid")
+            if max_pid is not None and max_pid >= stream_partitions:
+                raise ValueError(
+                    f"event partition_id {max_pid} >= declared stream_partitions={stream_partitions}"
+                )
+            batch_offs = {
+                str(p): int(got[f"p{p}"])
+                for p in range(stream_partitions)
+                if got.get(f"p{p}") is not None
+            }
+        prev = dict(snap.properties.get(OFFSETS_PROP, {}))
+        for p, mx in batch_offs.items():
+            prev[p] = max(int(prev.get(p, -1)), int(mx))
+        return {
+            OFFSETS_PROP: prev,
+            LINEAGE_PROP: lineage
+            + [
+                {
+                    "batch_id": batch_id,
+                    "source": source,
+                    "offsets": batch_offs,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            ],
+        }
+
     result = merge_into(
         table,
         flat,
         already_deduped=mapper is not None,
         affected_buckets=buckets,
         salt_partitions=salt_partitions,
-        properties_update={
-            OFFSETS_PROP: prev_offs,
-            LINEAGE_PROP: lineage
-            + [
-                {
-                    "batch_id": batch_id,
-                    "source": source,
-                    "offsets": offs,
-                    "wall_sec": None,  # patched below once known
-                }
-            ],
-        },
+        properties_fn=props_after_write,
     )
     result.wall_sec = time.time() - t0
     return result

@@ -104,6 +104,7 @@ def merge_into(
     max_commit_retries: int = 5,
     already_deduped: bool = False,
     affected_buckets: list[int] | None = None,
+    properties_fn=None,
 ) -> MergeResult:
     """Apply a changelog micro-batch to ``table`` (see module docstring).
 
@@ -122,6 +123,7 @@ def merge_into(
             return _merge_once(
                 table, source, offset_col, op_col, seq_col, ts_col,
                 properties_update, salt_partitions, already_deduped, affected_buckets,
+                properties_fn,
             )
         except CommitConflict:
             # Optimistic-concurrency retry: re-read the new snapshot and
@@ -145,6 +147,7 @@ def _merge_once(
     salt_partitions: int | None,
     already_deduped: bool,
     affected_buckets: list[int] | None = None,
+    properties_fn=None,
 ) -> MergeResult:
     snap = table.snapshot()
     key_cols = snap.key_cols
@@ -238,6 +241,7 @@ def _merge_once(
         new_schema=new_schema,
         properties_update=properties_update,
         expected_version=snap.version,
+        properties_fn=properties_fn,
     )
     return MergeResult(version=new_snap.version, affected_buckets=sorted(affected))
 

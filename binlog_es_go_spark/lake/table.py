@@ -228,6 +228,7 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         properties_update: dict[str, Any] | None = None,
         expected_version: int | None = None,
+        properties_fn=None,
     ) -> Snapshot:
         """Commit a new snapshot replacing ``replaced_buckets`` with ``df``.
 
@@ -266,6 +267,12 @@ class LakeTable:
 
         props = dict(base.properties)
         props.update(properties_update or {})
+        if properties_fn is not None:
+            # evaluated AFTER the data write: lets callers derive manifest
+            # properties (e.g. per-partition offsets) from Observation
+            # metrics collected during the write action itself, so lineage
+            # costs zero extra jobs
+            props.update(properties_fn() or {})
         snap = Snapshot(
             version=base.version + 1,
             parent=base.version,
