@@ -1,0 +1,96 @@
+"""Lake maintenance: compaction, tombstone GC, snapshot expiry.
+
+The Iceberg-maintenance analog (rewrite_data_files / expire_snapshots /
+remove_orphan_files). The reference has no equivalent — ES handles segment
+merging — but a 10^10-event lake accumulates (a) one file set per commit
+per bucket (small files), (b) tombstones that guard delete-then-reinsert
+ordering (SURVEY §7 hard part 1) and only become garbage once every
+stream partition has advanced past their offset.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.lake.table import DELETED_COL, LakeTable
+
+
+def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_below: int | None = None) -> int:
+    """Rewrite every bucket into ``target_files_per_bucket`` files.
+
+    ``drop_tombstones_below``: offset watermark below which tombstones are
+    garbage — safe ONLY when every stream partition's applied offset has
+    passed it (a replayed stale insert for that key can no longer arrive,
+    because the coarse offset filter + checkpoint drop it first). Callers
+    should pass ``min(applied_offsets().values())``.
+    """
+    snap = table.snapshot()
+    df = table.read(include_deleted=True)
+    if drop_tombstones_below is not None:
+        df = df.filter(
+            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("last_offset") < drop_tombstones_below))
+        )
+    df = table.with_bucket(df)
+    n_parts = max(snap.n_buckets * target_files_per_bucket, 1)
+    out = df.repartition(n_parts, F.col("_bucket"))
+    new_snap = table.write_buckets(
+        out,
+        replaced_buckets=list(range(snap.n_buckets)),
+        expected_version=snap.version,
+        properties_update={"last_compaction_version": snap.version},
+    )
+    return new_snap.version
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[str]:
+    """Delete data files only referenced by expired snapshots.
+
+    Snapshots older than the last ``keep_last`` lose time-travel; files
+    still referenced by a retained snapshot are kept. Returns removed
+    paths. Manifest JSONs are kept (tiny, useful for lineage forensics).
+    """
+    current = table.current_version()
+    keep_versions = [v for v in range(max(0, current - keep_last + 1), current + 1)]
+    referenced: set[str] = set()
+    for v in keep_versions:
+        try:
+            snap = table.snapshot(v)
+        except FileNotFoundError:
+            continue
+        for files in snap.buckets.values():
+            referenced.update(files)
+
+    removed = []
+    data_root = os.path.join(table.root, "data")
+    for commit_dir in os.listdir(data_root):
+        full = os.path.join(data_root, commit_dir)
+        rels = []
+        for dirpath, _, files in os.walk(full):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rels.append(os.path.relpath(os.path.join(dirpath, fn), table.root))
+        if rels and not any(r in referenced for r in rels):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.extend(rels)
+    return removed
+
+
+def table_stats(table: LakeTable) -> dict:
+    """File/row/tombstone accounting for ops dashboards."""
+    snap = table.snapshot()
+    n_files = sum(len(v) for v in snap.buckets.values())
+    df = table.read(include_deleted=True)
+    agg = df.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("int")).alias("tombstones"),
+    ).first()
+    return {
+        "version": snap.version,
+        "buckets": len(snap.buckets),
+        "files": n_files,
+        "rows": int(agg["rows"] or 0),
+        "tombstones": int(agg["tombstones"] or 0),
+    }
