@@ -676,6 +676,40 @@ FROM documents
 """
 
 
+def _sessionize_events(spark, sf_dir):
+    """Event-time session windows (gap 30 min) — gaps-and-islands."""
+    from binlog_es_go_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30, tiebreak_cols=["event_id"])
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_epoch_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_epoch_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered)
+SELECT user_id, session_id,
+       epoch_us(min(ts))::BIGINT AS start_epoch_us, epoch_us(max(ts))::BIGINT AS end_epoch_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh(spark, sf_dir):
     from binlog_es_go_spark.operators.dedup import minhash_lsh_candidates
@@ -751,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_router_crc32": _shard_router_crc32,
         "windowed_event_agg": _windowed_event_agg,
         "salted_aggregate": _salted_agg,
+        "sessionize_events": _sessionize_events,
         "dedup_exact_groups": _dedup_exact_groups,
         "doc_fingerprints": _doc_fingerprints,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -787,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_router_mod": _SHARD_MOD_ORACLE,
         "windowed_event_agg": _WINDOWED_ORACLE,
         "salted_aggregate": _SALTED_ORACLE,
+        "sessionize_events": _SESSIONIZE_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "doc_fingerprints": _DOC_FP_ORACLE,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,

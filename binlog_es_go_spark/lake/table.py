@@ -175,7 +175,16 @@ class LakeTable:
             json.dump(m, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        # EXCLUSIVE create: the manifest filename is the real commit lock.
+        # Two racing writers both targeting version v must not clobber each
+        # other — os.link fails atomically if the manifest already exists,
+        # and the loser retries on the new snapshot (CommitConflict).
+        try:
+            os.link(tmp, path)
+        except FileExistsError as e:
+            raise CommitConflict(f"manifest v{snap.version} already committed by another writer") from e
+        finally:
+            os.unlink(tmp)
 
     def _swap_version(self, new_version: int, expected_parent: int | None) -> None:
         """Atomic commit point with optimistic concurrency."""

@@ -1,0 +1,128 @@
+"""Sessionization: event-time session windows, batch and streaming.
+
+The reference has no event-time windowing (SURVEY.md §2.2 — its batching
+is wall-clock). A training-data/event pipeline needs sessions, so both
+execution strategies are provided:
+
+* ``sessionize`` — batch gaps-and-islands: lag + cumulative-sum of
+  gap-breaks, pure window functions (ANSI-expressible, oracle-checkable);
+* ``sessionize_stream`` — Structured Streaming custom stateful operator
+  via ``applyInPandasWithState`` with processing-time timeouts (the
+  GroupState API; sessions emit when the gap timeout fires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_SCHEMA = (
+    "user_id long, session_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch session windows: a session breaks after ``gap_minutes`` idle.
+
+    Two shuffles (both partitioned by key): the lag/cum-sum window and the
+    final per-session aggregate. At scale both reuse the same hash
+    partitioning on the key, so the second exchange is elided by Catalyst.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # NTZ-safe epoch seconds (session TZ is UTC; plain cast-to-double is
+    # rejected for TIMESTAMP_NTZ under ANSI)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
+    gap = epoch - F.lag(epoch).over(w)
+    is_break = F.when(gap.isNull() | (gap > gap_minutes * 60.0), 1).otherwise(0)
+    sessions = df.withColumn("_brk", is_break).withColumn(
+        "session_id", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    return sessions.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    state_timeout_ms: int = 2000,
+):
+    """Streaming sessionization: custom stateful operator.
+
+    GroupState holds the open session per key ``(start, end, n, total)``;
+    a batch's events fold into it; the session emits when the
+    processing-time timeout fires with no new events (the streaming analog
+    of the batch gap rule). Output mode: update/append via foreachBatch.
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = gap_minutes * 60.0
+    state_schema = "start double, end double, n long, total double, sid long"
+    out_schema = SESSION_SCHEMA
+
+    def fold(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n, total, sid = state.get
+                rows.append((user_id, sid, dt.datetime.utcfromtimestamp(start),
+                             dt.datetime.utcfromtimestamp(end), n, round(total, 2)))
+                state.remove()
+        else:
+            start = end = None
+            n, total, sid = 0, 0.0, 0
+            if state.exists:
+                start, end, n, total, sid = state.get
+            for pdf in pdf_iter:
+                ts = pdf[ts_col].astype("int64") / 1e9
+                for t, v in zip(ts.tolist(), pdf[value_col].tolist()):
+                    if start is None:
+                        start = end = t
+                    elif t - end > gap_sec:
+                        rows.append((user_id, sid, dt.datetime.utcfromtimestamp(start),
+                                     dt.datetime.utcfromtimestamp(end), n, round(total, 2)))
+                        sid += 1
+                        start = end = t
+                        n, total = 0, 0.0
+                    end = max(end, t)
+                    n += 1
+                    total += float(v)
+            if start is not None:
+                state.update((start, end, n, total, sid))
+                state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
