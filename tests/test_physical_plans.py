@@ -1,0 +1,101 @@
+"""Physical-plan hygiene: the plans we'd want at 100 TB, asserted.
+
+Scale is a plan property, not a benchmark number: dims must broadcast,
+filters must reach the parquet scan, the CDC hot path must stay JVM-side
+(no Python eval nodes), and expressions must run inside whole-stage
+codegen. These tests pin those properties so regressions surface as test
+failures, not as production slowdowns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlog_es_go_spark.cdc.bootstrap import as_changelog
+from binlog_es_go_spark.cdc.events import flatten_changelog, generate_changelog
+from binlog_es_go_spark.lake.merge import dedup_last_writer
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrichment_dims_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["enrichment_mapping"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = plan_of(docs)
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters:")[1][:120], plan[:500]
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = plan_of(docs)
+    read_schema = plan.split("ReadSchema:")[1][:120]
+    assert "text" not in read_schema, f"unpruned scan: {read_schema}"
+
+
+def test_cdc_hot_path_has_no_python(spark):
+    """flatten -> dedup window -> bucket expr: all JVM (no Batch/ArrowEval)."""
+    log = generate_changelog(spark, 1000, n_repos=10, paths_per_repo=10)
+    from binlog_es_go_spark.lake.table import bucket_expr
+
+    pipeline = dedup_last_writer(flatten_changelog(log), ["repo", "path"]).withColumn(
+        "_bucket", bucket_expr(["repo", "path"], 64)
+    )
+    plan = plan_of(pipeline)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python in the CDC hot path: {marker}"
+    # Spark 4 plans the LWW row_number()==1 with WindowGroupLimit: a
+    # PARTIAL top-1 pass runs map-side BEFORE the shuffle, so only one
+    # candidate row per key per input partition crosses the wire — the
+    # single most important plan property for replaying skewed changelogs.
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_cdc_hot_path_single_shuffle(spark):
+    """The fused window = exactly one Exchange in the dedup pipeline."""
+    log = generate_changelog(spark, 1000, n_repos=10, paths_per_repo=10)
+    pipeline = dedup_last_writer(flatten_changelog(log), ["repo", "path"])
+    plan = plan_of(pipeline)
+    assert plan.count("Exchange") == 1, f"expected 1 shuffle, plan:\n{plan[:800]}"
+
+
+def test_bootstrap_where_pushed_down(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id"), F.col("lang"), F.col("text").alias("content")
+    )
+    cl = as_changelog(base, ["doc_id"], where="lang = 'en'")
+    plan = plan_of(cl)
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters:")[1][:160]
+
+
+def test_semi_join_for_reverse_lookup(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["reverse_lookup_affected_parents"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan[:600]
+
+
+def test_ann_broadcasts_queries_not_corpus(spark):
+    from binlog_es_go_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter("vec_id < 3"), "embedding", "vec_id", "vec_id", k=5)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
