@@ -1,0 +1,114 @@
+"""CLI entrypoint: the reference's four run modes, spark-submit-able.
+
+Reference: ``cmd/binlog-es-go/main.go:483-499`` — ``--mode`` in
+{realtime, bootstrap, self-check, replay-deadletters}. Same surface here:
+
+    spark-submit --py-files binlog_es_go_spark.zip scripts/run_pipeline.py \
+        --mode realtime --target /lake/repo_files --events /changelog \
+        --checkpoint /ckpt --stream-partitions 32
+
+    python scripts/run_pipeline.py --mode self-check --target /tmp/lake \
+        --events /tmp/changelog
+
+Local runs build a local[N] session; under spark-submit the existing
+session/cluster is used (getOrCreate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="binlog-es-go-spark pipeline runner")
+    ap.add_argument("--mode", required=True,
+                    choices=["realtime", "bootstrap", "self-check", "replay-deadletters"])
+    ap.add_argument("--target", required=True, help="lake table root")
+    ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
+    ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
+    ap.add_argument("--checkpoint", help="streaming checkpoint dir (realtime)")
+    ap.add_argument("--deadletters", help="dead-letter log dir")
+    ap.add_argument("--key-cols", default="repo,path")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--stream-partitions", type=int, default=None)
+    ap.add_argument("--epoch-offset", type=int, default=0, help="bootstrap epoch (bootstrap/replay)")
+    ap.add_argument("--where", default=None, help="bootstrap WHERE pushdown")
+    ap.add_argument("--timeout-sec", type=float, default=3600)
+    ap.add_argument("--cores", type=int, default=None, help="local[N] when no session exists")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from binlog_es_go_spark.session import build_session
+
+    spark = SparkSession.getActiveSession() or build_session("pipeline", parallelism=args.cores)
+    key_cols = args.key_cols.split(",")
+
+    from binlog_es_go_spark.config import SyncTaskConfig
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    cfg = SyncTaskConfig(
+        name="cli", target_table_path=args.target, key_cols=key_cols,
+        n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
+    )
+
+    if args.mode == "self-check":
+        from binlog_es_go_spark.cdc.preflight import run_preflight
+
+        report = run_preflight(spark, cfg, changelog_dir=args.events, checkpoint_dir=args.checkpoint)
+        print(report)
+        return 0 if report.ok else 1
+
+    if args.mode == "bootstrap":
+        from binlog_es_go_spark.cdc.bootstrap import run_full_scan
+
+        source = spark.read.parquet(args.source)
+        if not LakeTable.exists(args.target):
+            from pyspark.sql import types as T
+
+            schema = T.StructType([f for f in source.schema.fields])
+            LakeTable.create(spark, args.target, schema, key_cols=key_cols, n_buckets=args.n_buckets)
+        table = LakeTable.load(spark, args.target)
+        res = run_full_scan(table, source, epoch_offset=args.epoch_offset, where=args.where)
+        print(f"bootstrap committed v{res.version} ({len(res.affected_buckets)} buckets, {res.wall_sec:.1f}s)")
+        return 0
+
+    if args.mode == "realtime":
+        from binlog_es_go_spark.cdc.deadletter import DeadLetterLog
+        from binlog_es_go_spark.cdc.stream import run_tail_until_drained
+
+        table = LakeTable.load(spark, args.target)
+        on_error = None
+        if args.deadletters:
+            dl = DeadLetterLog(spark, args.deadletters)
+
+            def on_error(bid, df, exc):  # noqa: ANN001
+                dl.record_failure(df.select(*key_cols, "offset"), reason=str(exc)[:200],
+                                  stage="merge", batch_id=bid)
+
+        run_tail_until_drained(
+            table, spark, args.events, args.checkpoint,
+            timeout_sec=args.timeout_sec, on_error=on_error,
+        )
+        from binlog_es_go_spark.cdc.apply import applied_offsets
+
+        print(f"tail drained; offsets: {applied_offsets(table)}")
+        return 0
+
+    # replay-deadletters (cmd/binlog-es-go/main.go:503-561 analog)
+    from binlog_es_go_spark.cdc.deadletter import DeadLetterLog, replay_dead_letters
+
+    table = LakeTable.load(spark, args.target)
+    dl = DeadLetterLog(spark, args.deadletters)
+    source = spark.read.parquet(args.source)
+    res = replay_dead_letters(table, dl, source, epoch_offset=args.epoch_offset)
+    print("nothing to replay" if res is None else f"replayed -> v{res.version}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
