@@ -146,11 +146,24 @@ def main() -> None:
     cores_4n = cores_n * 4
     runs_n: list[float] = []
     runs_4n: list[float] = []
-    for rep in range(REPS):  # interleaved: host capacity drifts by the minute
+    # adaptive reps: always run at least REPS interleaved pairs, then keep
+    # adding pairs while the remaining time budget allows a full pair —
+    # more paired samples = better best-pair estimate under host noise,
+    # with no timeout risk
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "420"))
+    bench_t0 = time.time()
+    rep = 0
+    pair_cost = None
+    while rep < REPS or (
+        pair_cost is not None and (time.time() - bench_t0) + pair_cost * 1.2 < budget
+    ):
+        pair_start = time.time()
         for cores, sink in ((cores_n, runs_n), (cores_4n, runs_4n)):
             thr = cdc_replay_run(cores, events_dir, warmup_dir, CDC_EVENTS)
             sink.append(round(thr, 1))
             print(f"rep {rep} local[{cores}]: {thr:,.0f} events/s", file=sys.stderr)
+        pair_cost = time.time() - pair_start
+        rep += 1
     shutil.rmtree(base, ignore_errors=True)
 
     thr_n, thr_4n = max(runs_n), max(runs_4n)
