@@ -52,7 +52,14 @@ def sessionize(
         F.count("*").alias("n_events"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+        # Sum in DECIMAL, not double: double summation order is partition-
+        # dependent in Spark, so round(sum(double), 2) can flip at half-cent
+        # boundaries between runs/engines. Decimal addition is exact and
+        # associative — the sha256 state-equality standard requires it for
+        # every money-like aggregate.
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(30,10)")), 2).cast("double").alias("total_value")
+        )
     return sessions.groupBy(key_col, "session_id").agg(*aggs)
 
 
@@ -94,9 +101,14 @@ def sessionize_stream(
             n, total, sid = 0, 0.0, 0
             if state.exists:
                 start, end, n, total, sid = state.get
-            for pdf in pdf_iter:
-                ts = pdf[ts_col].astype("int64") / 1e9
-                for t, v in zip(ts.tolist(), pdf[value_col].tolist()):
+            # applyInPandasWithState gives no intra-batch ordering guarantee:
+            # concatenate the group's chunks and sort by event time before
+            # folding, or out-of-order arrivals split sessions falsely.
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            if len(batch):
+                batch = batch.sort_values(ts_col, kind="mergesort", ignore_index=True)
+                ts = batch[ts_col].astype("int64") / 1e9
+                for t, v in zip(ts.tolist(), batch[value_col].tolist()):
                     if start is None:
                         start = end = t
                     elif t - end > gap_sec:

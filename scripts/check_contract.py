@@ -3,7 +3,7 @@
 Runs every ``queries()`` entry at sf0.01 through Spark AND its
 ``oracle_sql()`` through DuckDB, then compares row count and an
 order-insensitive value hash (columns sorted by name, rows sorted by their
-stringified tuple, floats rounded to 9 significant-ish digits).
+stringified tuple, floats at FULL precision — bit-exact like the driver).
 
 Usage: python scripts/check_contract.py [sf_dir] [only_query ...]
 """
@@ -28,7 +28,10 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # FULL precision: the driver's hash gate compares values exactly, so
+        # any float that is not bit-identical across engines must fail here
+        # too (9-sig-digit rounding let the r1 sessionize bug through).
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
