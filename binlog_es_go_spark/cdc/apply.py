@@ -115,9 +115,12 @@ def apply_batch(
         # reference's batch-recompute amortization, flush.go:39)
         flat = mapper(dedup_last_writer(flat, snap.key_cols))
 
-    lineage = list(snap.properties.get(LINEAGE_PROP, []))[-200:]
-
-    def props_after_write() -> dict:
+    def props_after_write(base_props: dict) -> dict:
+        # ``base_props`` is the properties of the snapshot the commit is
+        # actually building on — on a CommitConflict retry that is NEWER
+        # than ``snap`` captured above, and merging against the stale copy
+        # would silently drop/regress the other writer's per-partition
+        # offsets (and, later, inflate the tombstone-GC watermark).
         batch_offs = dict(offs)
         if obs is not None:
             got = obs.get
@@ -131,12 +134,12 @@ def apply_batch(
                 for p in range(stream_partitions)
                 if got.get(f"p{p}") is not None
             }
-        prev = dict(snap.properties.get(OFFSETS_PROP, {}))
+        prev = dict(base_props.get(OFFSETS_PROP, {}))
         for p, mx in batch_offs.items():
             prev[p] = max(int(prev.get(p, -1)), int(mx))
         return {
             OFFSETS_PROP: prev,
-            LINEAGE_PROP: lineage
+            LINEAGE_PROP: list(base_props.get(LINEAGE_PROP, []))[-200:]
             + [
                 {
                     "batch_id": batch_id,

@@ -45,13 +45,22 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
     return new_snap.version
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[str]:
+def expire_snapshots(table: LakeTable, keep_last: int = 2, min_age_sec: float = 600.0) -> list[str]:
     """Delete data files only referenced by expired snapshots.
 
     Snapshots older than the last ``keep_last`` lose time-travel; files
     still referenced by a retained snapshot are kept. Returns removed
     paths. Manifest JSONs are kept (tiny, useful for lineage forensics).
+
+    ``min_age_sec``: commit dirs younger than this are NEVER deleted, even
+    if no retained manifest references them — a concurrent writer may have
+    finished its data write but not yet linked its manifest, and deleting
+    its files would let it publish a manifest pointing at nothing
+    (Iceberg's remove_orphan_files ``older_than`` rule). Set 0 only when
+    no other writer can be mid-commit.
     """
+    import time as _time
+
     current = table.current_version()
     keep_versions = [v for v in range(max(0, current - keep_last + 1), current + 1)]
     referenced: set[str] = set()
@@ -64,9 +73,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[str]:
             referenced.update(files)
 
     removed = []
+    now = _time.time()
     data_root = os.path.join(table.root, "data")
     for commit_dir in os.listdir(data_root):
         full = os.path.join(data_root, commit_dir)
+        try:
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue  # possibly an in-progress commit — leave it
+        except OSError:
+            continue
         rels = []
         for dirpath, _, files in os.walk(full):
             for fn in files:

@@ -6,13 +6,17 @@ Semantics (the DataFrame re-expression of the reference's sink pair
 ``pkg/realtime/loop.go:317-321``):
 
     MERGE INTO target t USING source s ON <key_cols>
-      WHEN MATCHED AND s.offset > t.last_offset AND s.op = 'delete' THEN DELETE
-      WHEN MATCHED AND s.offset > t.last_offset                     THEN UPDATE *
+      WHEN MATCHED AND (s.offset, s.seq) > (t.last_offset, t.last_seq)
+                   AND s.op = 'delete'                              THEN DELETE
+      WHEN MATCHED AND (s.offset, s.seq) > (t.last_offset, t.last_seq)
+                                                                    THEN UPDATE *
       WHEN NOT MATCHED AND s.op <> 'delete'                         THEN INSERT *
 
 with two strengthenings over the reference:
 
-* the strict ``s.offset > t.last_offset`` guard makes re-applied batches
+* the strict ``(s.offset, s.seq) > (t.last_offset, t.last_seq)`` guard
+  (lexicographic; seq persisted so split transactions order across
+  batches) makes re-applied batches
   (at-least-once delivery, foreachBatch re-run after crash) no-ops —
   exactly-once state without a transactional sink;
 * DELETE writes a tombstone (``_deleted=true``, ``last_offset`` kept)
@@ -27,7 +31,7 @@ Physical plan, deliberately:
     3. target read pruned to those buckets      (file skipping — O(batch),
                                                  not O(table))
     4. union(target-subset, deduped source) → window by key
-       ordered by (offset desc, is_target desc, seq desc) → rank 1
+       ordered by (offset desc, seq desc, is_target desc) → rank 1
                                                 (1 shuffle)
     5. rewrite only affected buckets, atomic manifest commit
 
@@ -60,7 +64,7 @@ OFFSET_COL = "offset"
 OP_COL = "op"
 SEQ_COL = "seq_in_tx"
 TS_COL = "ts"
-ENGINE_COLS = ("last_offset", "last_op", DELETED_COL, "updated_at")
+ENGINE_COLS = ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
 
 
 @dataclass
@@ -189,12 +193,12 @@ def _merge_once(
         *key_cols,
         *[F.col(c) for c in payload_cols],
         F.col(offset_col).cast("long").alias("last_offset"),
+        (F.col(seq_col).cast("long") if has_seq else F.lit(0).cast("long")).alias("last_seq"),
         F.col(op_col).alias("last_op"),
         (F.col(op_col) == F.lit("delete")).alias(DELETED_COL),
         ts_expr.alias("updated_at"),
         F.col(BUCKET_COL),
         F.lit(0).alias("_is_target"),
-        (F.col(seq_col).cast("long") if has_seq else F.lit(0).cast("long")).alias("_seq"),
     )
     # Delete events carry no after-image: null their payload so a delete
     # winner becomes a pure tombstone.
@@ -210,21 +214,25 @@ def _merge_once(
     tgt_norm = (
         target.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
         .withColumn("_is_target", F.lit(1))
-        .withColumn("_seq", F.lit(0).cast("long"))
     )
 
     combined = align_union(src_norm, tgt_norm, new_schema)
 
-    # ONE window resolves everything: max offset per key wins; on equal
-    # offsets the target wins (the strict > guard); among source rows with
-    # equal offsets, seq_in_tx breaks the tie (SURVEY §7 hard part 2).
+    # ONE window resolves everything: max (offset, seq) per key wins —
+    # ``last_seq`` is PERSISTED so a transaction split across micro-batches
+    # (same offset, later seq arriving in a later batch) still applies; the
+    # target wins only a FULL (offset, seq) tie, which is exactly the
+    # strict "(offset, seq) >" guard of the sequential oracle
+    # (cdc/oracle.py; SURVEY §7 hard part 2).
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col("last_offset").desc_nulls_last(), F.col("_is_target").desc(), F.col("_seq").desc()
+        F.col("last_offset").desc_nulls_last(),
+        F.coalesce(F.col("last_seq"), F.lit(0)).desc(),
+        F.col("_is_target").desc(),
     )
     winners = (
         combined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_target", "_seq")
+        .drop("_rn", "_is_target")
     )
 
     # Spread the write across tasks; the salt column splits hot buckets.
@@ -247,7 +255,7 @@ def _merge_once(
 
 
 def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:
-    extras = [BUCKET_COL, "_is_target", "_seq"]
+    extras = [BUCKET_COL, "_is_target"]
 
     def proj(df: DataFrame) -> DataFrame:
         have = set(df.columns)

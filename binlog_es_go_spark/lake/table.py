@@ -121,8 +121,10 @@ class LakeTable:
     def _with_engine_cols(schema: T.StructType, key_cols: list[str]) -> T.StructType:
         """Engine-managed columns appended after user columns.
 
-        ``last_offset``/``last_op`` carry the monotonic-offset LWW guard
-        (the exactly-once mechanism); ``_deleted`` retains tombstones so a
+        ``last_offset``/``last_seq``/``last_op`` carry the monotonic
+        (offset, seq) LWW guard (the exactly-once mechanism — seq persists
+        so a transaction split across micro-batches still orders
+        correctly); ``_deleted`` retains tombstones so a
         replayed stale insert after a delete stays dead (SURVEY §7 hard
         part 1: delete-then-reinsert ordering).
         """
@@ -130,6 +132,7 @@ class LakeTable:
         fields = list(schema.fields)
         for name, typ in [
             ("last_offset", T.LongType()),
+            ("last_seq", T.LongType()),
             ("last_op", T.StringType()),
             (DELETED_COL, T.BooleanType()),
             ("updated_at", T.TimestampType()),
@@ -280,8 +283,11 @@ class LakeTable:
             # evaluated AFTER the data write: lets callers derive manifest
             # properties (e.g. per-partition offsets) from Observation
             # metrics collected during the write action itself, so lineage
-            # costs zero extra jobs
-            props.update(properties_fn() or {})
+            # costs zero extra jobs. The callback receives the FRESH base
+            # properties (not whatever snapshot the caller captured before
+            # a possible conflict retry) so merges like max-per-partition
+            # offsets never regress another writer's committed values.
+            props.update(properties_fn(dict(base.properties)) or {})
         snap = Snapshot(
             version=base.version + 1,
             parent=base.version,

@@ -44,16 +44,16 @@ def shard_for_key(key: Column | str, shards: int, strategy: str = CRC32_IEEE_UIN
 
 
 def shard_for_key_signed_abs(key: Column | str, shards: int) -> Column:
-    """crc32_ieee_signed_abs (helpers.go:124-138): abs(int32(crc32)) % n.
+    """crc32_ieee_signed_abs (helpers.go:124-138): abs(int64(int32(crc32))) % n.
 
-    int32 reinterpretation: values >= 2^31 wrap negative; MinInt32 maps to
-    0 (the reference's explicit guard, helpers.go:131-134).
+    int32 reinterpretation: values >= 2^31 wrap negative; the reference
+    takes the absolute value in int64, so crc32 == 0x80000000 (MinInt32)
+    yields 2147483648 — no special case (Spark longs hold it exactly).
     """
     c = F.col(key) if isinstance(key, str) else key
     u = F.crc32(c.cast("string"))  # 0 .. 2^32-1 as long
     signed = F.when(u >= F.lit(2**31), u - F.lit(2**32)).otherwise(u)
-    magnitude = F.when(signed == F.lit(-(2**31)), F.lit(0)).otherwise(F.abs(signed))
-    return F.pmod(magnitude, F.lit(shards)).cast("int")
+    return F.pmod(F.abs(signed), F.lit(shards)).cast("int")
 
 
 def salt_column(cols: list[Column | str], factor: int) -> Column:

@@ -49,6 +49,37 @@ def test_concurrent_merges_serialize_and_converge(spark, tmp_path):
     got = t.read().select("repo", "path", "content").toPandas()
     assert len(got) == len(oracle)
     assert table_digest(got) == table_digest(oracle[["repo", "path", "content"]])
+    # the conflict-retry loser must MERGE offsets against the winner's
+    # committed base, never replace them with its stale-snapshot view —
+    # a regressed partition offset would unsafely lower the tombstone-GC
+    # watermark (min over partitions)
+    from binlog_es_go_spark.cdc.apply import applied_offsets
+
+    expected = {
+        str(r["partition_id"]): int(r["mx"])
+        for r in log.groupBy("partition_id").agg(F.max("offset").alias("mx")).collect()
+    }
+    assert applied_offsets(t) == expected
+
+
+def test_properties_fn_gets_fresh_base_properties(spark, tmp_path):
+    """write_buckets must hand properties_fn the properties of the snapshot
+    the commit actually builds on, so offset merges survive interleaved
+    writers."""
+    from binlog_es_go_spark.cdc.apply import OFFSETS_PROP
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, key_cols=["repo", "path"], n_buckets=4)
+    empty = t.read(buckets=[]).limit(0).withColumn("_bucket", F.lit(0).cast("int"))
+    # writer B commits partition-1 offsets first
+    t.write_buckets(empty, replaced_buckets=[], properties_update={OFFSETS_PROP: {"1": 50}})
+
+    def fn(base_props: dict) -> dict:
+        prev = dict(base_props.get(OFFSETS_PROP, {}))
+        prev["0"] = max(int(prev.get("0", -1)), 10)
+        return {OFFSETS_PROP: prev}
+
+    t.write_buckets(empty, replaced_buckets=[], properties_fn=fn)
+    assert t.snapshot().properties[OFFSETS_PROP] == {"0": 10, "1": 50}
 
 
 def test_stale_handle_commit_conflict_raises(spark, tmp_path):

@@ -141,7 +141,10 @@ def test_compaction_preserves_state_and_shrinks_files(spark, tmp_path):
     assert after["files"] <= before["files"]
     assert after["tombstones"] < before["tombstones"] or before["tombstones"] == 0
 
-    removed = expire_snapshots(t, keep_last=1)
+    # fresh dirs are protected by the in-progress-commit age guard: a
+    # default-retention call removes nothing, an aged-out call removes
+    assert expire_snapshots(t, keep_last=1) == []
+    removed = expire_snapshots(t, keep_last=1, min_age_sec=0)
     assert removed, "old snapshot files should be deleted"
     # current snapshot still fully readable
     assert sorted(tuple(r) for r in t.read().select("repo", "path", "content").collect()) == digest_before
@@ -154,5 +157,5 @@ def test_expire_keeps_time_travel_window(spark, tmp_path):
     v1 = t.current_version()
     n1 = t.read().count()
     apply_batch(t, log.filter("offset >= 200"), batch_id=1)
-    expire_snapshots(t, keep_last=2)  # keeps v1 and v2
+    expire_snapshots(t, keep_last=2, min_age_sec=0)  # keeps v1 and v2
     assert t.read(version=v1).count() == n1  # time-travel within window intact

@@ -150,3 +150,37 @@ def test_delete_then_stale_insert_stays_dead(spark, tmp_path):
     apply_batch(t, fresh, batch_id=2)
     got = t.read().select("content").collect()
     assert [r["content"] for r in got] == ["hello v2"]
+
+
+def test_transaction_split_across_batches(spark, tmp_path):
+    """A same-offset, higher-seq event in a LATER micro-batch must win:
+    the (offset, seq) guard is lexicographic and seq is persisted, matching
+    the sequential oracle's strictly-greater-tuple rule."""
+    t = fresh_table(spark, tmp_path)
+    first = spark.createDataFrame(
+        [(10, 0, 1, "update", "o/r", "a.txt", None, ("c1", "py", "v seq1"), TS)],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(t, first, batch_id=0)
+    # same transaction (offset 10), later statement, delivered next batch
+    second = spark.createDataFrame(
+        [(10, 0, 3, "update", "o/r", "a.txt", None, ("c1", "py", "v seq3"), TS)],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(t, second, batch_id=1)
+    row = t.read().select("content", "last_offset", "last_seq").collect()[0]
+    assert row["content"] == "v seq3" and row["last_seq"] == 3
+    # but an equal (offset, seq) re-delivery is still a no-op (target wins ties)
+    stale = spark.createDataFrame(
+        [(10, 0, 3, "update", "o/r", "a.txt", None, ("c1", "py", "SHOULD NOT APPLY"), TS)],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(t, stale, batch_id=2)
+    assert t.read().select("content").collect()[0]["content"] == "v seq3"
+    # and a lower-seq same-offset straggler cannot regress state
+    lower = spark.createDataFrame(
+        [(10, 0, 2, "update", "o/r", "a.txt", None, ("c1", "py", "old seq2"), TS)],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(t, lower, batch_id=3)
+    assert t.read().select("content").collect()[0]["content"] == "v seq3"

@@ -51,6 +51,27 @@ def test_shard_router_matches_zlib(spark):
     assert got == exp
 
 
+def test_shard_router_signed_abs_matches_go_model(spark):
+    """crc32_ieee_signed_abs == Go's abs(int64(int32(crc32))) % shards —
+    including keys whose crc32 lands in the negative int32 range, with a
+    non-power-of-2 shard count (the case a MinInt32 special-case would
+    silently diverge on)."""
+    import zlib
+
+    keys = [str(x) for x in range(200)] + ["org3/repo17", "src/a/b.txt"]
+    exp = {}
+    for k in keys:
+        u = zlib.crc32(k.encode())
+        signed = u - 2**32 if u >= 2**31 else u  # int32 reinterpretation
+        exp[k] = abs(signed) % 63                # abs in int64, like Go
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {
+        r["key"]: r["s"]
+        for r in df.select("key", shard_for_key("key", 63, CRC32_IEEE_SIGNED_ABS).alias("s")).collect()
+    }
+    assert got == exp
+
+
 def test_shard_strategies(spark):
     df = spark.createDataFrame([("42",), ("-5",)], ["key"])
     mod = {r["key"]: r["s"] for r in df.select("key", shard_for_key("key", 10, MOD).alias("s")).collect()}
