@@ -728,6 +728,103 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def _config_recompute_pipeline(spark, sf_dir):
+    """End-to-end config-declared pipeline (SURVEY §2.1 #7/#8/#23 wired):
+    main inserts -> recompute from source of truth (keys absent upstream
+    are deleteOnMissing'd), then a child-table (nation) change reverse-
+    looks-up affected parents (relatedQuery, loop.go:325-451) and
+    recomputes them at the new offset — final lake state is checked
+    against a pure-SQL oracle."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.pipeline import process_config_batch
+    from binlog_es_go_spark.config import EnrichmentJoin, RelatedQueryConfig, SyncTaskConfig
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    root = tempfile.mkdtemp(prefix="config_pipeline_")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    # source of truth: customers except custkey % 10 == 0 (deleted upstream)
+    customer.filter((F.col("c_custkey") % 10) != 0).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    ).write.parquet(root + "/main_src")
+    nation.select(
+        F.col("n_nationkey").cast("long").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    ).write.parquet(root + "/nation_dim")
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("nation_name", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(spark, root + "/t", schema, key_cols=["c_custkey"], n_buckets=16)
+    cfg = SyncTaskConfig(
+        name="contract",
+        target_table_path=root + "/t",
+        key_cols=["c_custkey"],
+        main_table="customer",
+        main_table_path=root + "/main_src",
+        relevant_tables=["customer", "nation"],
+        table_rewrite_rules=[("_[0-9]+$", "")],
+        n_buckets=16,
+        delete_on_missing=True,
+        related_queries=[
+            RelatedQueryConfig(child_table="nation", join_cols=["c_nationkey"], parent_key_cols=["c_custkey"])
+        ],
+        enrichments=[EnrichmentJoin(table_path=root + "/nation_dim", on=["c_nationkey"], kind="dim")],
+    )
+
+    after_t = T.StructType([T.StructField("c_name", T.StringType())])
+    ev0 = customer.filter(F.col("c_custkey") < 1000).select(
+        F.col("c_custkey").cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit("insert").alias("op"),
+        F.lit("customer_07").alias("table"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lit(None).cast("long").alias("c_nationkey"),
+        F.struct(F.col("c_name")).cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    process_config_batch(spark, cfg, table, ev0, batch_id=0)
+
+    ev1 = nation.filter(F.col("n_regionkey") == 0).select(
+        (F.lit(10000) + F.col("n_nationkey")).cast("long").alias("offset"),
+        F.lit(1).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit("update").alias("op"),
+        F.lit("nation_3").alias("table"),
+        F.lit(-1).cast("long").alias("c_custkey"),
+        F.col("n_nationkey").cast("long").alias("c_nationkey"),
+        F.lit(None).cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    process_config_batch(spark, cfg, table, ev1, batch_id=1)
+
+    return table.read().select("c_custkey", "c_name", "c_nationkey", "nation_name", "last_offset", "last_op")
+
+
+_CONFIG_PIPELINE_ORACLE = """
+WITH b0 AS (SELECT max(c_custkey)::BIGINT AS mx FROM customer WHERE c_custkey < 1000),
+b1 AS (SELECT (10000 + max(n_nationkey))::BIGINT AS mx FROM nation WHERE n_regionkey = 0),
+region0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+src AS (SELECT c_custkey::BIGINT AS c_custkey, c_name, c_nationkey::BIGINT AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 0)
+SELECT s.c_custkey, s.c_name, s.c_nationkey, n.n_name AS nation_name,
+       CASE WHEN s.c_nationkey IN (SELECT n_nationkey FROM region0) THEN (SELECT mx FROM b1)
+            ELSE (SELECT mx FROM b0) END AS last_offset,
+       'update' AS last_op
+FROM src s JOIN nation n ON n.n_nationkey = s.c_nationkey
+WHERE s.c_custkey < 1000 OR s.c_nationkey IN (SELECT n_nationkey FROM region0)
+"""
+
+
 # ----------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh(spark, sf_dir):
     from binlog_es_go_spark.operators.dedup import minhash_lsh_candidates
@@ -775,6 +872,67 @@ def _cdc_replay_lake(spark, sf_dir):
     )
 
 
+def _cdc_replay_events(spark, sf_dir):
+    """The flagship engine path under the driver's hash gate: the driver-
+    visible events parquet replayed as a changelog (event_id = offset,
+    event_type routed to op) through 3 offset-guarded micro-batch MERGEs
+    into a lake table; DuckDB computes the expected LWW final state."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    after_t = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    log = ev.select(
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        _op_expr().alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.when(_op_expr() != "delete", F.struct(F.col("event_type"), F.col("value").cast("double")))
+        .cast(after_t)
+        .alias("after"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_replay_events_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["user_id"], n_buckets=16)
+    bounds = [(None, 4000), (4000, 8000), (8000, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        batch = log
+        if lo is not None:
+            batch = batch.filter(F.col("offset") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("offset") < hi)
+        apply_batch(table, batch, batch_id=i)
+    return table.read().select(
+        "user_id",
+        "last_offset",
+        "last_op",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+_CDC_REPLAY_EVENTS_ORACLE = f"""
+SELECT user_id, event_id AS last_offset, op AS last_op,
+       event_type AS last_event_type, round(value, 2) AS last_value
+FROM (SELECT user_id, event_id, event_type, value, {_OP_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events)
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _multimodal_features(spark, sf_dir):
     from binlog_es_go_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -816,7 +974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash,
         "ivf_topk_ann": _ivf_ann,
         "cdc_replay_lake": _cdc_replay_lake,
+        "cdc_replay_events": _cdc_replay_events,
         "multimodal_features": _multimodal_features,
+        "config_recompute_pipeline": _config_recompute_pipeline,
     }
 
 
@@ -849,4 +1009,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": _LANG_ID_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
         "token_counts": _TOKEN_ORACLE,
+        "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
+        "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
     }

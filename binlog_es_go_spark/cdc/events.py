@@ -146,9 +146,15 @@ def flatten_changelog(changelog: DataFrame) -> DataFrame:
 
     The analog of zipping positional binlog rows with cached column names
     (``pkg/realtime/loop.go:203,326-331``) — here it is a pure projection.
+    Generic over the event schema: every non-image column (positions, op,
+    key columns, ts) passes through; ``after`` fields flatten beside them
+    (meta-level columns win a name collision).
     """
-    payload_fields = [f.name for f in changelog.schema["after"].dataType.fields]
+    meta = [c for c in changelog.columns if c not in ("before", "after")]
+    payload_fields = [
+        f.name for f in changelog.schema["after"].dataType.fields if f.name not in meta
+    ]
     return changelog.select(
-        "offset", "partition_id", "seq_in_tx", "op", "repo", "path", "ts",
+        *meta,
         *[F.col(f"after.{f}").alias(f) for f in payload_fields],
     )

@@ -1,0 +1,191 @@
+"""Config-driven realtime pipeline: key extraction -> recompute -> flush.
+
+This is the end-to-end wiring of ``SyncTaskConfig`` into the tail — the
+reference's actual realtime architecture (``pkg/realtime/loop.go:24-520`` +
+``pkg/realtime/flush.go:39-140``): binlog events are reduced to AFFECTED
+MAIN-TABLE KEYS (main events contribute their own key; child-table events
+resolve parents through the relatedQuery reverse lookup,
+``loop.go:325-451``), the keys are batch-recomputed against the mapping
+(one semi-join against the source-of-truth main table + the config's
+enrichments, instead of the reference's per-batch mapping SQL), and keys
+whose recompute comes back empty are deleted when ``deleteOnMissing``
+(``flush.go:119-140``). Main-table DELETE events delete directly when
+``deleteOnDelete`` (``loop.go:317-321``).
+
+Everything funnels into ONE synthetic changelog per micro-batch and the
+standard ``apply_batch`` MERGE, so idempotence / offset guarding / salting
+are inherited, and a crash-rerun of the batch is a no-op. Synthetic
+recompute events carry the batch's max offset on a reserved partition_id
+(-1) with a high seq, so:
+
+* re-running the batch recomputes the same keys at the same (offset, seq)
+  — the tuple guard makes it a no-op;
+* a recompute wins over a same-offset raw event (source-of-truth state is
+  newer than any image inside the batch);
+* real stream partitions' offset bookkeeping is untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from binlog_es_go_spark.cdc.apply import apply_batch
+from binlog_es_go_spark.cdc.events import flatten_changelog
+from binlog_es_go_spark.config import SyncTaskConfig, build_mapper
+from binlog_es_go_spark.lake.merge import MergeResult
+from binlog_es_go_spark.lake.table import LakeTable
+from binlog_es_go_spark.operators.enrichment import (
+    affected_parent_keys,
+    delete_on_missing_keys,
+    rewrite_table_name,
+)
+
+# Synthetic recompute events ride a reserved stream partition so they never
+# perturb a real partition's applied-offset bookkeeping.
+RECOMPUTE_PARTITION = -1
+# seq ladder within one offset: recompute beats a direct delete beats any
+# raw event seq — source-of-truth state is the newest fact in the batch.
+SEQ_DIRECT_DELETE = 1 << 30
+SEQ_RECOMPUTE = (1 << 30) + 1
+
+
+def _logical_table(batch: DataFrame, cfg: SyncTaskConfig) -> DataFrame:
+    """Apply the physical->logical table-name rewrite (helpers.go:57-74)."""
+    if "table" not in batch.columns or not cfg.table_rewrite_rules:
+        return batch
+    return batch.withColumn("table", rewrite_table_name("table", cfg.table_rewrite_rules))
+
+
+def _payload_struct(src: DataFrame, key_cols: list[str]):
+    payload = [c for c in src.columns if c not in key_cols]
+    return F.struct(*[F.col(c) for c in payload])
+
+
+def process_config_batch(
+    spark: SparkSession,
+    cfg: SyncTaskConfig,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    mapper: Callable[[DataFrame], DataFrame] | None = None,
+) -> MergeResult:
+    """Apply one mixed-table micro-batch under a SyncTaskConfig.
+
+    RECOMPUTE mode (``cfg.main_table_path`` set — the reference's mode):
+    events reduce to keys, keys re-read from the source of truth through
+    the mapper, absences deleted per ``delete_on_missing``.
+
+    CDC mode (no ``main_table_path``): after-images apply directly; only
+    the relevance filter and mapper come from config.
+    """
+    if mapper is None:
+        mapper = build_mapper(spark, cfg) if (cfg.enrichments or cfg.transforms) else None
+    batch = _logical_table(batch, cfg)
+    has_table = "table" in batch.columns
+
+    if cfg.main_table_path is None:
+        if has_table:
+            relevant = set(cfg.relevant_tables or [cfg.main_table])
+            batch = batch.filter(F.col("table").isin(*relevant)).drop("table")
+        return apply_batch(
+            table, batch, mapper=mapper, batch_id=batch_id,
+            salt_partitions=cfg.salt_partitions, stream_partitions=cfg.stream_partitions,
+        )
+
+    flat = flatten_changelog(batch)
+    key_cols = cfg.key_cols
+    main = flat.filter(F.col("table") == cfg.main_table) if has_table else flat
+
+    # ---- key extraction --------------------------------------------------
+    # main-table inserts/updates -> their own key
+    recompute_keys = main.filter(F.col("op") != "delete").select(*key_cols)
+    # child-table events -> affected parents via the relatedQuery lookup
+    if cfg.related_queries:
+        main_src = spark.read.parquet(cfg.main_table_path)
+        for rq in cfg.related_queries:
+            child = flat.filter(F.col("table") == rq.child_table) if has_table else flat.limit(0)
+            affected = affected_parent_keys(
+                child, main_src, rq.join_cols, rq.parent_key_cols, rq.direct_fk_cols
+            ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)])
+            recompute_keys = recompute_keys.unionByName(affected)
+    recompute_keys = recompute_keys.distinct()
+
+    # ---- batch recompute (the mapping query, flush.go:39) ----------------
+    main_src = spark.read.parquet(cfg.main_table_path)
+    found = main_src.join(recompute_keys, on=key_cols, how="left_semi")
+
+    # One tiny column-pruned job pins the batch's max offset for the
+    # synthetic events (serial cost per micro-batch, like the metadata scan).
+    mx_row = flat.agg(F.max("offset").alias("mx")).first()
+    mx = mx_row["mx"]
+    if mx is None:
+        return MergeResult(version=table.snapshot().version, affected_buckets=[])
+
+    def synth(df: DataFrame, op: str, seq: int, keep_positions: bool) -> DataFrame:
+        payload = _payload_struct(found, key_cols)
+        after = payload if op != "delete" else F.lit(None).cast(
+            T.StructType([f for f in found.schema.fields if f.name not in key_cols])
+        )
+        return df.select(
+            (F.col("offset") if keep_positions else F.lit(int(mx)).cast("long")).alias("offset"),
+            (F.col("partition_id") if keep_positions else F.lit(RECOMPUTE_PARTITION).cast("int")).alias("partition_id"),
+            (F.col("seq_in_tx") if keep_positions else F.lit(seq).cast("int")).alias("seq_in_tx"),
+            F.lit(op).alias("op"),
+            *key_cols,
+            after.alias("after"),
+            (F.col("ts") if "ts" in df.columns else F.lit(None).cast("timestamp")).alias("ts"),
+        )
+
+    parts = [synth(found, "update", SEQ_RECOMPUTE, keep_positions=False)]
+    # main DELETE events -> direct deletes at their real positions
+    if cfg.delete_on_delete:
+        deletes = main.filter(F.col("op") == "delete")
+        parts.append(synth(deletes, "delete", 0, keep_positions=True))
+    # recomputed keys with no source row -> deleteOnMissing
+    if cfg.delete_on_missing:
+        missing = delete_on_missing_keys(recompute_keys, found, key_cols)
+        parts.append(synth(missing, "delete", SEQ_RECOMPUTE, keep_positions=False))
+
+    synthetic = parts[0]
+    for p in parts[1:]:
+        synthetic = synthetic.unionByName(p)
+
+    return apply_batch(
+        table, synthetic, mapper=mapper, batch_id=batch_id,
+        source="recompute", salt_partitions=cfg.salt_partitions,
+    )
+
+
+def start_config_tail(
+    spark: SparkSession,
+    cfg: SyncTaskConfig,
+    changelog: DataFrame,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    on_error: Callable[[int, DataFrame, Exception], None] | None = None,
+) -> StreamingQuery:
+    """Streaming tail fully driven by a SyncTaskConfig — the analog of the
+    reference's ``runEventLoop`` + flush with relatedQuery/deleteOnMissing
+    wired in from YAML (``pkg/realtime/runner.go:95-171``)."""
+    problems = cfg.validate()
+    if problems:
+        raise ValueError(f"invalid config: {problems}")
+    table = LakeTable.load(spark, cfg.target_table_path)
+    mapper = build_mapper(spark, cfg) if (cfg.enrichments or cfg.transforms) else None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            process_config_batch(spark, cfg, table, batch_df, batch_id, mapper=mapper)
+        except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+            if on_error is None:
+                raise
+            on_error(batch_id, batch_df, exc)
+
+    writer = changelog.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -89,6 +89,13 @@ class SyncTaskConfig:
     target_table_path: str                      # `_index` analog
     key_cols: list[str] = field(default_factory=lambda: ["repo", "path"])  # `_id` analog
     main_table: str = "repo_files"              # mapping.mainTable analog
+    # Lake path of the main table's source-of-truth state. When set, the
+    # tail runs in RECOMPUTE mode (the reference's actual architecture,
+    # pkg/realtime/flush.go:39-140): events only contribute KEYS; state is
+    # re-read from here through the mapper, and keys whose recompute comes
+    # back empty are deleted when ``delete_on_missing``. When None, events'
+    # after-images apply directly (lake-native CDC mode).
+    main_table_path: str | None = None
     relevant_tables: list[str] = field(default_factory=list)   # mappingTable keys
     table_rewrite_rules: list[tuple[str, str]] = field(default_factory=list)
     n_buckets: int = 64
@@ -120,7 +127,57 @@ class SyncTaskConfig:
                 problems.append(f"unknown enrichment kind {e.kind!r}")
             if e.kind == "one_to_many" and not e.agg_value:
                 problems.append(f"one_to_many join on {e.on} needs agg_value")
+        if self.related_queries and not self.main_table_path:
+            problems.append("related_queries require main_table_path (recompute source)")
+        if self.delete_on_missing and not self.main_table_path:
+            problems.append("delete_on_missing requires main_table_path (recompute source)")
+        for rq in self.related_queries:
+            if not rq.join_cols and not rq.direct_fk_cols:
+                problems.append(f"related query on {rq.child_table!r} needs join_cols or direct_fk_cols")
         return problems
+
+
+def config_from_dict(raw: dict) -> SyncTaskConfig:
+    """Build a SyncTaskConfig from a plain dict (parsed YAML/JSON)."""
+    def _keys(d: dict) -> dict:
+        # YAML 1.1 parses a bare `on:` key as boolean True — map it back
+        # (EnrichmentJoin's join-column field is literally named "on")
+        return {("on" if k is True else str(k)): v for k, v in d.items()}
+
+    raw = dict(raw)
+    enrichments = [EnrichmentJoin(**_keys(e)) for e in raw.pop("enrichments", [])]
+    related = [RelatedQueryConfig(**r) for r in raw.pop("related_queries", [])]
+    transforms = [TransformSpec(**t) for t in raw.pop("transforms", [])]
+    bulk = BulkConfig(**raw.pop("bulk", {}))
+    retry_raw = dict(raw.pop("retry", {}))
+    if "backoff_ms" in retry_raw:
+        retry_raw["backoff_ms"] = tuple(retry_raw["backoff_ms"])
+    retry = RetryConfig(**retry_raw)
+    if "table_rewrite_rules" in raw:
+        raw["table_rewrite_rules"] = [tuple(r) for r in raw["table_rewrite_rules"]]
+    return SyncTaskConfig(
+        enrichments=enrichments, related_queries=related, transforms=transforms,
+        bulk=bulk, retry=retry, **raw,
+    )
+
+
+def load_config(path: str) -> SyncTaskConfig:
+    """YAML/JSON config-file loader — the ``pkg/config/load.go`` analog.
+
+    The file is one sync-task document whose keys mirror SyncTaskConfig
+    fields (see configs/example.yaml). JSON is accepted too (YAML superset).
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, dict):
+        raise ValueError(f"config file {path} must contain a mapping, got {type(raw).__name__}")
+    cfg = config_from_dict(raw)
+    problems = cfg.validate()
+    if problems:
+        raise ValueError(f"invalid config {path}: {problems}")
+    return cfg
 
 
 def build_mapper(spark, cfg: SyncTaskConfig):

@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (realtime)")
     ap.add_argument("--deadletters", help="dead-letter log dir")
+    ap.add_argument("--config", help="YAML sync-task config (pkg/config/load.go analog); "
+                                     "declares enrichments/relatedQuery/deleteOnMissing")
     ap.add_argument("--key-cols", default="repo,path")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--stream-partitions", type=int, default=None)
@@ -48,13 +50,21 @@ def main() -> int:
     spark = SparkSession.getActiveSession() or build_session("pipeline", parallelism=args.cores)
     key_cols = args.key_cols.split(",")
 
-    from binlog_es_go_spark.config import SyncTaskConfig
+    from binlog_es_go_spark.config import SyncTaskConfig, load_config
     from binlog_es_go_spark.lake.table import LakeTable
 
-    cfg = SyncTaskConfig(
-        name="cli", target_table_path=args.target, key_cols=key_cols,
-        n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
-    )
+    if args.config:
+        cfg = load_config(args.config)
+        key_cols = cfg.key_cols
+        if args.target:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, target_table_path=args.target)
+    else:
+        cfg = SyncTaskConfig(
+            name="cli", target_table_path=args.target, key_cols=key_cols,
+            n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
+        )
 
     if args.mode == "self-check":
         from binlog_es_go_spark.cdc.preflight import run_preflight
@@ -81,7 +91,7 @@ def main() -> int:
         from binlog_es_go_spark.cdc.deadletter import DeadLetterLog
         from binlog_es_go_spark.cdc.stream import run_tail_until_drained
 
-        table = LakeTable.load(spark, args.target)
+        table = LakeTable.load(spark, cfg.target_table_path)
         on_error = None
         if args.deadletters:
             dl = DeadLetterLog(spark, args.deadletters)
@@ -90,10 +100,26 @@ def main() -> int:
                 dl.record_failure(df.select(*key_cols, "offset"), reason=str(exc)[:200],
                                   stage="merge", batch_id=bid)
 
-        run_tail_until_drained(
-            table, spark, args.events, args.checkpoint,
-            timeout_sec=args.timeout_sec, on_error=on_error,
-        )
+        if args.config:
+            # config-declared pipeline: enrichments, relatedQuery reverse
+            # lookups, deleteOnMissing — all from the YAML
+            from binlog_es_go_spark.cdc.pipeline import start_config_tail
+            from binlog_es_go_spark.cdc.stream import changelog_stream
+
+            stream = changelog_stream(
+                spark, args.events,
+                schema=spark.read.parquet(args.events).schema,
+                max_files_per_trigger=cfg.bulk.max_files_per_trigger,
+            )
+            q = start_config_tail(spark, cfg, stream, args.checkpoint, on_error=on_error)
+            if not q.awaitTermination(args.timeout_sec):
+                q.stop()
+                raise TimeoutError(f"stream did not drain within {args.timeout_sec}s")
+        else:
+            run_tail_until_drained(
+                table, spark, args.events, args.checkpoint,
+                timeout_sec=args.timeout_sec, on_error=on_error,
+            )
         from binlog_es_go_spark.cdc.apply import applied_offsets
 
         print(f"tail drained; offsets: {applied_offsets(table)}")

@@ -1,0 +1,213 @@
+"""Config-driven pipeline: relatedQuery reverse lookup + deleteOnMissing
+wired end-to-end into the tail (pkg/realtime/loop.go:325-451 +
+pkg/realtime/flush.go:119-140 semantics), plus the YAML loader and the
+CDC-mode relevance filter."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlog_es_go_spark.cdc.pipeline import process_config_batch, start_config_tail
+from binlog_es_go_spark.config import (
+    EnrichmentJoin,
+    RelatedQueryConfig,
+    SyncTaskConfig,
+    load_config,
+)
+from binlog_es_go_spark.lake.table import LakeTable
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("seq_in_tx", T.IntegerType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("custkey", T.LongType(), False),
+        T.StructField("nationkey", T.LongType(), True),
+        T.StructField(
+            "after",
+            T.StructType([T.StructField("name", T.StringType()), T.StructField("nationkey", T.LongType())]),
+            True,
+        ),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("custkey", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+    ]
+)
+
+
+def _setup(spark, tmp_path):
+    # source-of-truth main table: custkeys 1..8 EXCEPT 4 (deleted upstream)
+    src = spark.createDataFrame(
+        [(k, f"cust{k}", k % 3) for k in range(1, 9) if k != 4],
+        "custkey long, name string, nationkey long",
+    )
+    src_path = str(tmp_path / "main_src")
+    src.write.parquet(src_path)
+    nation_path = str(tmp_path / "nation_dim")
+    spark.createDataFrame(
+        [(0, "N0"), (1, "N1"), (2, "N2")], "nationkey long, n_name string"
+    ).write.parquet(nation_path)
+    table = LakeTable.create(
+        spark, str(tmp_path / "target"), TARGET_SCHEMA, key_cols=["custkey"], n_buckets=4
+    )
+    cfg = SyncTaskConfig(
+        name="t",
+        target_table_path=str(tmp_path / "target"),
+        key_cols=["custkey"],
+        main_table="customer",
+        main_table_path=src_path,
+        relevant_tables=["customer", "nation"],
+        table_rewrite_rules=[("_[0-9]+$", "")],
+        n_buckets=4,
+        delete_on_missing=True,
+        related_queries=[
+            RelatedQueryConfig(child_table="nation", join_cols=["nationkey"], parent_key_cols=["custkey"])
+        ],
+        enrichments=[EnrichmentJoin(table_path=nation_path, on=["nationkey"], kind="dim")],
+    )
+    assert cfg.validate() == []
+    return src_path, nation_path, table, cfg
+
+
+def _batch0(spark):
+    # main-table inserts for custkeys 1..5 (4 no longer exists in the source)
+    rows = [(k, 0, 0, "insert", "customer_17", k, None, (f"stale{k}", None), None) for k in range(1, 6)]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _batch1(spark):
+    # child-table change: nation 1 renamed -> parents with nationkey=1 recompute
+    return spark.createDataFrame(
+        [(100, 1, 0, "update", "nation_3", -1, 1, None, None)], EVENT_SCHEMA
+    )
+
+
+def _state(table):
+    rows = table.read().select("custkey", "name", "n_name", "last_offset", "last_op").collect()
+    return {r["custkey"]: (r["name"], r["n_name"], r["last_offset"], r["last_op"]) for r in rows}
+
+
+def test_recompute_child_change_and_delete_on_missing(spark, tmp_path):
+    _, _, table, cfg = _setup(spark, tmp_path)
+    process_config_batch(spark, cfg, table, _batch0(spark), batch_id=0)
+    s0 = _state(table)
+    # recompute reads the SOURCE, not the event image ("stale..." never lands)
+    assert set(s0) == {1, 2, 3, 5}, "custkey 4 must be deleteOnMissing'd"
+    assert s0[1] == ("cust1", "N1", 5, "update")  # batch max offset = 5, enriched
+    assert s0[3] == ("cust3", "N0", 5, "update")
+
+    process_config_batch(spark, cfg, table, _batch1(spark), batch_id=1)
+    s1 = _state(table)
+    # nationkey=1 parents in the source are {1, 7}: 1 recomputed at the new
+    # offset, 7 synced in (never inserted before), others untouched
+    assert set(s1) == {1, 2, 3, 5, 7}
+    assert s1[1][2] == 100 and s1[7] == ("cust7", "N1", 100, "update")
+    assert s1[2][2] == 5 and s1[5][2] == 5
+
+    # crash-rerun of the batch is a no-op (same synthetic (offset, seq))
+    process_config_batch(spark, cfg, table, _batch1(spark), batch_id=1)
+    assert _state(table) == s1
+
+
+def test_recompute_main_delete_event_deletes_directly(spark, tmp_path):
+    _, _, table, cfg = _setup(spark, tmp_path)
+    process_config_batch(spark, cfg, table, _batch0(spark), batch_id=0)
+    delete_ev = spark.createDataFrame(
+        [(200, 0, 0, "delete", "customer_9", 2, None, None, None)], EVENT_SCHEMA
+    )
+    process_config_batch(spark, cfg, table, delete_ev, batch_id=1)
+    assert set(_state(table)) == {1, 3, 5}
+
+
+def test_cdc_mode_relevance_filter_applies_images(spark, tmp_path):
+    """Without main_table_path the after-image applies directly and
+    irrelevant tables are dropped."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t2"), TARGET_SCHEMA, key_cols=["custkey"], n_buckets=4
+    )
+    cfg = SyncTaskConfig(
+        name="cdc",
+        target_table_path=str(tmp_path / "t2"),
+        key_cols=["custkey"],
+        main_table="customer",
+        relevant_tables=["customer"],
+        table_rewrite_rules=[("_[0-9]+$", "")],
+        n_buckets=4,
+    )
+    rows = [
+        (1, 0, 0, "insert", "customer_17", 1, None, ("image1", 0), None),
+        (2, 0, 0, "insert", "nation_3", 9, None, ("not-me", 0), None),
+    ]
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA).drop("nationkey")
+    process_config_batch(spark, cfg, table, batch, batch_id=0)
+    got = {r["custkey"]: r["name"] for r in table.read().select("custkey", "name").collect()}
+    assert got == {1: "image1"}
+
+
+def test_yaml_config_tail_end_to_end(spark, tmp_path):
+    """YAML file -> load_config -> streaming tail with relatedQuery +
+    deleteOnMissing: the full declarative surface in one run."""
+    src_path, nation_path, table, _ = _setup(spark, tmp_path)
+    yaml_text = textwrap.dedent(
+        f"""
+        name: customers_enriched
+        target_table_path: {tmp_path / "target"}
+        key_cols: [custkey]
+        main_table: customer
+        main_table_path: {src_path}
+        relevant_tables: [customer, nation]
+        table_rewrite_rules:
+          - ["_[0-9]+$", ""]
+        n_buckets: 4
+        delete_on_delete: true
+        delete_on_missing: true
+        enrichments:
+          - table_path: {nation_path}
+            on: [nationkey]
+            kind: dim
+        related_queries:
+          - child_table: nation
+            join_cols: [nationkey]
+            parent_key_cols: [custkey]
+        bulk:
+          max_files_per_trigger: 1
+        """
+    )
+    cfg_path = tmp_path / "task.yaml"
+    cfg_path.write_text(yaml_text)
+    cfg = load_config(str(cfg_path))
+    assert cfg.related_queries[0].child_table == "nation"
+    assert cfg.bulk.max_files_per_trigger == 1
+
+    events_dir = str(tmp_path / "events")
+    _batch0(spark).repartition(1).write.mode("append").parquet(events_dir)
+    _batch1(spark).repartition(1).write.mode("append").parquet(events_dir)
+
+    from binlog_es_go_spark.cdc.stream import changelog_stream
+
+    stream = changelog_stream(spark, events_dir, schema=EVENT_SCHEMA, max_files_per_trigger=1)
+    q = start_config_tail(spark, cfg, stream, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    s = _state(table)
+    assert set(s) == {1, 2, 3, 5, 7}
+    assert s[7] == ("cust7", "N1", 100, "update")
+
+
+def test_load_config_rejects_invalid(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("name: x\ntarget_table_path: /t\nkey_cols: [k]\ndelete_on_missing: true\n")
+    with pytest.raises(ValueError, match="main_table_path"):
+        load_config(str(p))
