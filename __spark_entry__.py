@@ -446,16 +446,44 @@ SELECT (abs(event_id) % 16)::BIGINT AS shard, count(*)::BIGINT AS n_keys FROM ev
 """
 
 
-def _shard_router_crc32(spark, sf_dir):
-    """crc32_ieee_uint32 routing (helpers.go:104-123) — golden-vector-tested;
-    DuckDB has no crc32, so this is a rows-only check."""
-    from binlog_es_go_spark.operators.salting import shard_for_key
+# Golden routing keys: the reference README's cross-language vectors
+# (README.md:139-144) plus a dense sweep. DuckDB 1.0 has no crc32, so the
+# oracle is a literal VALUES table computed with Python zlib.crc32 (the
+# same CRC-32/IEEE) at module load — three engines must agree.
+_CRC32_KEYS = [str(i) for i in range(200)] + [
+    "258652761531355136", "258652848596717568", "org3/repo17", "src/a/b.txt",
+]
 
-    ev = _t(spark, sf_dir, "events")
+
+def _shard_router_crc32(spark, sf_dir):
+    """crc32 routing parity (helpers.go:104-150): uint32 % 64 and
+    signed-abs % 63 (non-power-of-2 exposes int32-wrap divergence)."""
+    from binlog_es_go_spark.operators.salting import (
+        CRC32_IEEE_SIGNED_ABS,
+        shard_for_key,
+    )
+
+    df = spark.createDataFrame([(k,) for k in _CRC32_KEYS], "key string")
+    return df.select(
+        "key",
+        shard_for_key("key", 64).cast("bigint").alias("shard_uint32"),
+        shard_for_key("key", 63, CRC32_IEEE_SIGNED_ABS).cast("bigint").alias("shard_signed_abs"),
+    )
+
+
+def _crc32_oracle_sql() -> str:
+    import zlib
+
+    rows = []
+    for k in _CRC32_KEYS:
+        u = zlib.crc32(k.encode())
+        signed = u - 2**32 if u >= 2**31 else u
+        rows.append(f"('{k}', {u % 64}, {abs(signed) % 63})")
     return (
-        ev.select(shard_for_key("event_id", 64).cast("bigint").alias("shard"))
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_keys"))
+        "SELECT key, shard_uint32::BIGINT AS shard_uint32, "
+        "shard_signed_abs::BIGINT AS shard_signed_abs FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(key, shard_uint32, shard_signed_abs)"
     )
 
 
@@ -553,7 +581,11 @@ WITH w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws
 sh AS (SELECT id, list_distinct(CASE WHEN len(ws) >= 3
          THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
          ELSE [array_to_string(ws, ' ')] END) AS shingles FROM w),
-ex AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+ex0 AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+kept AS (SELECT id, shingle FROM
+           (SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex0)
+         WHERE df <= 1000),
+ex AS (SELECT id, shingle, count(*) OVER (PARTITION BY id) AS sz FROM kept),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
@@ -998,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_split_tokens": _TRANSFORM_SPLIT_ORACLE,
         "transform_json_decode": _TRANSFORM_JSON_ORACLE,
         "shard_router_mod": _SHARD_MOD_ORACLE,
+        "shard_router_crc32": _crc32_oracle_sql(),
         "windowed_event_agg": _WINDOWED_ORACLE,
         "salted_aggregate": _SALTED_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,

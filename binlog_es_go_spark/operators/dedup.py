@@ -147,17 +147,35 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
-    explode(shingles) -> self-join on shingle -> |intersection| per pair ->
-    Jaccard = inter / (|A| + |B| - inter). The shingle join IS the
-    candidate filter: disjoint docs never pair.
+    explode(shingles) -> drop shingles with document frequency above
+    ``max_doc_freq`` -> self-join on shingle -> |intersection| per pair ->
+    Jaccard = inter / (|A| + |B| - inter) over the KEPT shingle sets.
+
+    The shingle join is the candidate filter, and ``max_doc_freq`` is its
+    skew cap (the exact-path twin of ``max_bucket_size`` in
+    minhash_lsh_candidates): a boilerplate shingle appearing in k docs
+    would emit k^2 join rows — quadratic in corpus size for stop-shingles
+    — while carrying no similarity signal. Dropping df > max_doc_freq
+    shingles bounds any shingle's join fan-out at max_doc_freq^2 and makes
+    the measure "Jaccard over informative shingles", applied symmetrically
+    to numerator and denominator (so it stays a true Jaccard of the capped
+    sets and is mirrored 1:1 in the SQL oracle). Pass None to disable.
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).withColumn("sz", F.size("shingles"))
-    exploded = sh.select("id", "sz", F.explode("shingles").alias("shingle"))
+    )
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        exploded = exploded.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_doc_freq).drop("_df")
+    # set sizes AFTER the cap: both branches of the self-join share this
+    # exact subplan, so Catalyst reuses one exchange for the pair join
+    exploded = exploded.withColumn("sz", F.count("*").over(Window.partitionBy("id")))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

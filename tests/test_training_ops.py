@@ -96,6 +96,31 @@ def test_ngram_jaccard_exact(spark):
     assert (p["id_a"], p["id_b"]) == (1, 2) and abs(p["jaccard"] - 4 / 6) < 1e-9
 
 
+def test_ngram_jaccard_df_cap_kills_boilerplate_blowup(spark):
+    """A stop-shingle present in EVERY doc must not pair the whole corpus:
+    with the document-frequency cap the join stays linear (0 pairs here);
+    uncapped it would emit n*(n-1)/2 candidate pairs."""
+    n = 400
+    rows = [(i, f"common boiler plate unique{i} token{i} word{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3, threshold=0.01, max_doc_freq=100)
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3, threshold=0.01, max_doc_freq=None)
+    assert uncapped.count() == n * (n - 1) // 2  # the blowup the cap prevents
+    # the cap is symmetric (numerator AND denominator): a true near-dup pair
+    # still scores on its informative shingles only
+    df2 = spark.createDataFrame(
+        [(1, "common boiler plate a b c d"), (2, "common boiler plate a b c e"), (3, "common boiler plate x y z w")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df2, "text", "doc_id", shingle_n=3, threshold=0.3, max_doc_freq=2).collect()}
+    # "common boiler plate" (df=3) drops; the df=2 shingles shared by 1&2
+    # ("boiler plate a", "plate a b", "a b c") stay: jac = 3/(4+4-3) = 0.6
+    assert (1, 3) not in pairs
+    assert abs(pairs[(1, 2)] - 0.6) < 1e-9
+
+
 def test_simhash_near_dups(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog " * 3),
