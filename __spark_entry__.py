@@ -859,19 +859,89 @@ WHERE s.c_custkey < 1000 OR s.c_nationkey IN (SELECT n_nationkey FROM region0)
 
 # ----------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh(spark, sf_dir):
+    """Banded MinHash LSH in md5 mode: DuckDB recomputes the identical
+    signatures, band hashes, bucket cap, and similarity estimates, so the
+    full LSH pipeline (not just its output shape) is oracle-gated."""
     from binlog_es_go_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return minhash_lsh_candidates(docs, "text", "doc_id", k=64, bands=16).filter(
+    return minhash_lsh_candidates(docs, "text", "doc_id", k=32, bands=8, hash_fn="md5").filter(
         F.col("est_jaccard") >= 0.5
     )
 
 
+def _minhash_oracle_sql(
+    k: int = 32, bands: int = 8, max_bucket: int = 1000,
+    threshold: float = 0.5, doc_filter: str = "doc_id < 300",
+) -> str:
+    r = k // bands
+    sig_elems = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')" for i in range(k)
+    )
+    return rf"""
+WITH w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE {doc_filter}),
+sh AS (SELECT id, list_distinct(CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [array_to_string(ws, ' ')] END) AS shingles FROM w),
+sig AS (SELECT id, [{sig_elems}] AS sig FROM sh),
+bands AS (SELECT id, sig, bnd, md5(array_to_string(sig[bnd*{r}+1 : bnd*{r}+{r}], '|')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS bnd)),
+capped AS (SELECT id, sig, bnd, bh FROM
+             (SELECT *, count(*) OVER (PARTITION BY bnd, bh) AS bn FROM bands)
+           WHERE bn <= {max_bucket}),
+pairs AS (SELECT DISTINCT p.id AS id_a, q.id AS id_b, p.sig AS sig_a, q.sig AS sig_b
+          FROM capped p JOIN capped q ON p.bnd = q.bnd AND p.bh = q.bh AND p.id < q.id)
+SELECT id_a, id_b,
+       len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / {k} AS est_jaccard
+FROM pairs
+WHERE len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / {k} >= {threshold}
+"""
+
+
 def _simhash(spark, sf_dir):
+    """SimHash near-dups at radius 3 with 4 pigeonhole blocks: the banding
+    is EXHAUSTIVE within the radius, so a brute-force SQL hamming join is
+    an exact oracle (simhash bits themselves are md5-derived and
+    recomputed bit-for-bit in DuckDB)."""
     from binlog_es_go_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
+    out = simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, doc_filter: str = "doc_id < 300") -> str:
+    """DuckDB twin of simhash64: md5's first 16 hex chars as two 32-bit
+    words, per-bit +/-1 votes over distinct lowercase tokens, sign bit."""
+
+    def nib(k: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)::BIGINT"
+
+    hi = " + ".join(f"{nib(k)} * {16 ** (8 - k)}" for k in range(1, 9))
+    lo = " + ".join(f"{nib(8 + k)} * {16 ** (8 - k)}" for k in range(1, 9))
+    votes = ", ".join(
+        [f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vlo_{j}" for j in range(32)]
+        + [f"sum(CASE WHEN (hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vhi_{j}" for j in range(32)]
+    )
+    sh_parts = [f"(CASE WHEN vlo_{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT" for j in range(32)]
+    sh_parts += [f"(CASE WHEN vhi_{j} > 0 THEN {1 << (32 + j)} ELSE 0 END)::BIGINT" for j in range(31)]
+    sh_parts.append("(CASE WHEN vhi_31 > 0 THEN -9223372036854775808 ELSE 0 END)::BIGINT")
+    sh = " + ".join(sh_parts)
+    return rf"""
+WITH d AS (SELECT doc_id,
+                  list_filter(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+                              x -> x <> '') AS toks
+           FROM documents WHERE {doc_filter}),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+words AS (SELECT doc_id, {hi} AS hi, {lo} AS lo FROM (SELECT doc_id, md5(tok) AS hx FROM t)),
+v AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id),
+s AS (SELECT d.doc_id, {sh} AS sh FROM d LEFT JOIN v USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 def _ivf_ann(spark, sf_dir):
@@ -1044,4 +1114,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_ORACLE,
         "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
+        "simhash_near_dups": _simhash_oracle_sql(),
+        "minhash_lsh_near_dups": _minhash_oracle_sql(),
     }

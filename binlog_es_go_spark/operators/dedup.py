@@ -1,10 +1,10 @@
 """Deduplication family for training-data pipelines.
 
 Exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
-embedding-cosine near-dup. Everything except the two numpy-vectorized
-pandas UDFs (simhash, embedding LSH) is JVM builtins; MinHash signatures
-are built with ``transform``/``aggregate`` array expressions so the hot
-path stays inside whole-stage codegen.
+embedding-cosine near-dup. Everything is JVM builtins — MinHash and
+SimHash signatures are built with ``transform``/``aggregate``/``zip_with``
+array expressions, so the hot path stays inside whole-stage codegen with
+no Python worker at all.
 
 Scale notes (the 100 TB story):
 
@@ -19,7 +19,6 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -83,6 +82,27 @@ def minhash_signature(
     return sig
 
 
+def minhash_signature_md5(text_col: Column | str, k: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<string> of length k, md5-ordered.
+
+    h_i(shingle) = md5("i:" || shingle) (hex string); signature element i
+    is the lexicographic min over the document's distinct shingles. Any
+    uniform total order works for MinHash, and md5-hex order is one that
+    an ANSI oracle (DuckDB) reproduces byte-for-byte — this is the
+    cross-engine-checkable twin of ``minhash_signature`` (which keeps the
+    cheaper xxhash64 arithmetic for production use).
+    """
+    shingles = word_shingles(text_col, shingle_n)
+
+    def perm(i: int):
+        # NB: must be a 1-arg lambda — transform() passes the array INDEX
+        # as a second argument to 2-arg lambdas, which would shadow i
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(*[F.array_min(F.transform(shingles, perm(i))) for i in range(k)])
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -92,6 +112,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -99,19 +120,28 @@ def minhash_lsh_candidates(
     candidates. Pair estimated similarity = fraction of matching signature
     elements. ``max_bucket_size`` drops degenerate buckets (boilerplate)
     — a skew cap, logged out as dropped rather than silently exploding.
+
+    ``hash_fn``: "xxhash64" (production: cheap 64-bit arithmetic) or
+    "md5" (oracle-checkable: DuckDB recomputes the identical signature).
     """
     assert k % bands == 0, "k must be divisible by bands"
     r = k // bands
-    sigs = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, k, shingle_n, seed).alias("sig"))
+    if hash_fn == "md5":
+        sig = minhash_signature_md5(text_col, k, shingle_n)
+        band_hash = lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r), "|"))  # noqa: E731
+    else:
+        sig = minhash_signature(text_col, k, shingle_n, seed)
+        band_hash = lambda b: F.xxhash64(F.slice("sig", b * r + 1, r).cast("string"))  # noqa: E731
+    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     banded = sigs.select(
         "id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("string")).alias("bh")
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -190,51 +220,84 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document — numpy-vectorized pandas UDF.
+    """64-bit SimHash per document — pure JVM array expressions, no Python.
 
-    Per doc: tokens -> 64-bit hashes -> per-bit vote (+1 if set, -1 if
-    not) -> sign bit. Arrow-batched; the per-batch work is a numpy
-    unpackbits matmul, not per-row Python.
+    Per doc: distinct lowercase tokens -> 64 hash bits per token (the two
+    32-bit words of md5's first 16 hex chars) -> per-bit vote (+1 if set,
+    -1 if not), folded in ONE pass over the token array with a 32-wide
+    accumulator per word (``aggregate`` + ``zip_with``) -> sign bit. Stays
+    inside whole-stage codegen with zero shuffle (map-side only), and —
+    because md5 is available in ANSI engines — the whole definition is
+    reproducible in the DuckDB oracle bit-for-bit.
     """
-    from pyspark.sql.functions import pandas_udf
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    )
+    words = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 32)
 
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
+    def votes(word_field: str):
+        # fold tokens into 32 per-bit vote counters: +1 for a set bit, -1
+        # for a clear bit
+        return F.aggregate(
+            words,
+            zeros,
+            lambda acc, w: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.shiftrightunsigned(w.getField(word_field), j)
+                        .bitwiseAND(F.lit(1))
+                        .cast("long") * F.lit(2) - F.lit(1)
+                        for j in range(32)
+                    ]
+                ),
+                lambda a, b: a + b,
+            ),
+        )
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big") for w in set(toks)),
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for j in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sh.astype(np.int64))
-        return pd.Series(out)
-
-    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    sig = df.select(
+        F.col(id_col).alias("id"), votes("lo").alias("_vlo"), votes("hi").alias("_vhi")
+    )
+    parts = []
+    for j in range(32):
+        parts.append(
+            F.when(F.element_at("_vlo", j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    for j in range(32, 63):
+        parts.append(
+            F.when(F.element_at("_vhi", j - 31) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    # bit 63 is the sign bit of the two's-complement long
+    parts.append(
+        F.when(F.element_at("_vhi", 32) > 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    simhash = parts[0]
+    for p in parts[1:]:
+        simhash = simhash + p
+    return sig.select("id", simhash.alias("simhash"))
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n_blocks: int | None = None
 ) -> DataFrame:
-    """Near-dups by SimHash hamming distance, blocked by bit-prefix bands.
+    """Near-dups by SimHash hamming distance, blocked by disjoint bit bands.
 
-    4 rotated prefix blocks guarantee any pair within hamming<=3 shares at
-    least one block (pigeonhole over 4 segments).
+    ``max_hamming + 1`` disjoint segments guarantee (pigeonhole) that any
+    pair within the radius shares at least one untouched segment, so the
+    banded join finds EVERY qualifying pair — which is what lets a plain
+    brute-force oracle check this operator exactly. More blocks = shorter
+    segment keys = bigger buckets: the standard LSH recall/cost dial.
     """
     sh = simhash64(df, text_col, id_col)
-    blocks = 4
-    seg = 64 // blocks
+    blocks = max(2, min(n_blocks or (max_hamming + 1), 32))
+    bounds = [round(i * 64 / blocks) for i in range(blocks + 1)]
     banded = sh.select(
         "id",
         "simhash",
@@ -243,8 +306,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * seg)
-                        .bitwiseAND(F.lit((1 << seg) - 1))
+                        F.shiftrightunsigned(F.col("simhash"), bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("key"),
                     )
                     for i in range(blocks)

@@ -128,9 +128,22 @@ def test_simhash_near_dups(spark):
          (3, "entirely different content about database engines and storage")],
         ["doc_id", "text"],
     )
-    pairs = simhash_near_dups(df, "text", "doc_id", max_hamming=16)
-    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    assert (1, 2) in found and (1, 3) not in found
+    # md5-bit simhash distances here: h(1,2)=12, h(1,3)=29, h(2,3)=35.
+    # radius 12 -> 13 pigeonhole blocks GUARANTEE the (1,2) pair is found.
+    pairs = simhash_near_dups(df, "text", "doc_id", max_hamming=12)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found == {(1, 2): 12}
+
+    # the banding is exhaustive within the radius: it must equal the
+    # brute-force pair set, not just intersect it
+    from binlog_es_go_spark.operators.dedup import simhash64
+
+    sig = {r["id"]: r["simhash"] for r in simhash64(df, "text", "doc_id").collect()}
+    brute = {
+        (a, b): bin(((sig[a] ^ sig[b]) + (1 << 64)) % (1 << 64)).count("1")
+        for a in sig for b in sig if a < b
+    }
+    assert found == {k: v for k, v in brute.items() if v <= 12}
 
 
 def test_embedding_near_dups(spark):
