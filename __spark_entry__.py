@@ -944,11 +944,49 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+_EMB_DIM = 64  # fixed by the testdata contract (embeddings.parquet)
+
+
 def _ivf_ann(spark, sf_dir):
+    """IVF/LSH-bucketed ANN, fully oracle-checked: the oracle embeds the
+    SAME seeded hyperplanes as literals and reproduces bucket assignment,
+    probe, and ranking in SQL."""
     from binlog_es_go_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", "vec_id", k=10)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", "vec_id",
+        k=10, n_planes=6, seed=42, dim=_EMB_DIM,
+    )
+    return out.select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                      F.col("doc_id").alias("neighbor_id"))
+
+
+def _ivf_oracle_sql(k: int = 10, n_planes: int = 6, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def bucket(col: str) -> str:
+        bits = []
+        for p in planes:
+            lits = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                   f"i -> {col}[i]::DOUBLE * ({lits})[i]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    cos = _COS_SQL.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {bucket("embedding")} AS bkt FROM embeddings),
+qb AS (SELECT vec_id, embedding, {bucket("embedding")} AS bkt FROM embeddings WHERE vec_id < 5)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM cb c JOIN qb q USING (bkt)
+) WHERE rank <= {k}
+"""
 
 
 def _cdc_replay_lake(spark, sf_dir):
@@ -1036,9 +1074,35 @@ WHERE rn = 1 AND op <> 'delete'
 
 
 def _multimodal_features(spark, sf_dir):
+    """Binary-column plumbing under the hash gate: the mapInPandas fake
+    decoder reads the actual payload BYTES; the oracle re-derives the same
+    bytes from the seeded sha256 construction and recomputes the identical
+    integer-exact moments in SQL."""
     from binlog_es_go_spark.operators.multimodal import extract_features, synthesize_media
 
     return extract_features(synthesize_media(spark, n=64))
+
+
+def _multimodal_oracle_sql(n: int = 64, seed: int = 42) -> str:
+    return f"""
+WITH m AS (SELECT unnest(range(0, {n})) AS media_id),
+h AS (SELECT media_id,
+             sha256('{seed}' || media_id::VARCHAR)
+               || sha256('{seed}' || media_id::VARCHAR || 'b') AS hx FROM m),
+bytes AS (SELECT media_id, hx, unnest(range(0, 64)) AS k FROM h),
+vals AS (SELECT media_id,
+                (strpos('0123456789abcdef', substr(hx, (2*k+1)::INT, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, (2*k+2)::INT, 1)) - 1) AS v
+         FROM bytes),
+agg AS (SELECT media_id, sum(v) AS s1, sum(v*v) AS s2 FROM vals GROUP BY media_id)
+SELECT a.media_id,
+       (['image','audio','video'])[(a.media_id % 3) + 1] AS kind,
+       64::INT AS n_bytes,
+       a.s1::DOUBLE / 64 AS byte_mean,
+       sqrt(a.s2::DOUBLE / 64 - (a.s1::DOUBLE / 64) * (a.s1::DOUBLE / 64)) AS byte_std,
+       sha256(substr(h.hx, 1, 64)) AS head_sha256
+FROM agg a JOIN h USING (media_id)
+"""
 
 
 # ------------------------------------------------------------------ wiring
@@ -1116,4 +1180,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
         "simhash_near_dups": _simhash_oracle_sql(),
         "minhash_lsh_near_dups": _minhash_oracle_sql(),
+        "ivf_topk_ann": _ivf_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
     }

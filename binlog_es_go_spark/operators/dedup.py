@@ -334,17 +334,19 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH + exact verify.
 
     Sign pattern over ``n_planes`` seeded hyperplanes buckets the vectors;
     only same-bucket pairs get the exact cosine. Planes are generated
     driver-side (numpy, seeded) and folded into the plan as literals.
+    Pass ``dim`` when known to skip the probe job.
     """
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
+    if dim is None:
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 

@@ -42,11 +42,20 @@ FEATURE_SCHEMA = (
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    """Deterministic fake media table (payload = seeded pseudo-bytes).
+
+    64-byte payload = unhex(sha256(seed||id) || sha256(seed||id||'b')) —
+    two sha256 halves rather than one sha512 so an ANSI oracle (DuckDB
+    has sha256-over-VARCHAR only) can re-derive the identical bytes."""
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
-        F.unhex(F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)).alias("payload"),
+        F.unhex(
+            F.concat(
+                F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256),
+                F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string"), F.lit("b")), 256),
+            )
+        ).alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(64).alias("width"),
@@ -68,6 +77,7 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
 
     def extract(batches):
         import hashlib
+        import math
 
         import numpy as np
         import pandas as pd
@@ -83,10 +93,18 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
             n_bytes, mean, std, head = [], [], [], []
             for p in payloads:
                 arr = np.frombuffer(p or b"", dtype=np.uint8)
-                n_bytes.append(len(arr))
-                mean.append(float(arr.mean()) if len(arr) else 0.0)
-                std.append(float(arr.std()) if len(arr) else 0.0)
-                head.append(hashlib.sha256((p or b"")[:32]).hexdigest())
+                n = len(arr)
+                n_bytes.append(n)
+                # exact-integer moments -> the same two float ops on every
+                # engine: byte sums fit doubles exactly, so mean/std are
+                # reproducible bit-for-bit by the SQL oracle
+                s1 = int(arr.sum())
+                s2 = int((arr.astype(np.int64) ** 2).sum())
+                m = s1 / n if n else 0.0
+                mean.append(m)
+                std.append(math.sqrt(max(s2 / n - m * m, 0.0)) if n else 0.0)
+                # hash of the head's HEX (ANSI sha256 is VARCHAR-only)
+                head.append(hashlib.sha256((p or b"")[:32].hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -121,16 +121,21 @@ def ivf_topk(
     k: int = 10,
     n_planes: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: probe only the query's bucket (approximate).
 
     2^n_planes inverted lists; recall is tunable by n_planes (fewer planes
     -> bigger lists -> higher recall & cost). Multi-probe (flipping one
     bit) would raise recall further; kept single-probe for clarity.
+
+    ``dim``: embedding dimensionality. Pass it when known (schema
+    contract) — probing it costs a driver job on the corpus.
     """
     import numpy as np
 
-    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
 
     c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv"),
