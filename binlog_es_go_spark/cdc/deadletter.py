@@ -70,7 +70,14 @@ class DeadLetterLog:
         out.write.mode("append").parquet(os.path.join(self.root, f"dl-{uuid.uuid4().hex}"))
 
     def read(self, include_replayed: bool = False) -> DataFrame:
-        dirs = [os.path.join(self.root, d) for d in os.listdir(self.root) if d.startswith("dl-")]
+        # pending entries live in dl-* files, replay history in replayed-*:
+        # the pending read never scans the (unbounded) history
+        prefixes = ("dl-", "replayed-") if include_replayed else ("dl-",)
+        dirs = [
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith(prefixes)
+        ]
         if not dirs:
             return self.spark.createDataFrame([], DEADLETTER_SCHEMA)
         df = self.spark.read.parquet(*dirs)
@@ -83,16 +90,22 @@ class DeadLetterLog:
         return self.read().select("repo", "path").distinct()
 
     def mark_replayed(self) -> None:
-        """Archive: rewrite all entries as replayed (file-archive analog,
-        cmd/binlog-es-go/main.go:551-559)."""
-        df = self.read(include_replayed=True).withColumn("replayed", F.lit(True))
-        staged = os.path.join(self.root, f"dl-{uuid.uuid4().hex}")
-        df.write.parquet(staged)
-        for d in os.listdir(self.root):
-            full = os.path.join(self.root, d)
-            if d.startswith("dl-") and full != staged:
-                # rename out of the active set (files kept for forensics)
-                os.rename(full, os.path.join(self.root, "archived-" + d[3:]))
+        """Archive the PENDING entries as replayed (file-archive analog,
+        cmd/binlog-es-go/main.go:551-559).
+
+        O(pending), not O(total history): only the active dl-* files are
+        rewritten into one replayed-* file; prior replay history is never
+        re-read or re-written. Original files are renamed out of the
+        active set (kept for forensics, never scanned again)."""
+        pending = [d for d in os.listdir(self.root) if d.startswith("dl-")]
+        if not pending:
+            return
+        df = self.spark.read.parquet(*[os.path.join(self.root, d) for d in pending])
+        df.withColumn("replayed", F.lit(True)).write.parquet(
+            os.path.join(self.root, f"replayed-{uuid.uuid4().hex}")
+        )
+        for d in pending:
+            os.rename(os.path.join(self.root, d), os.path.join(self.root, "archived-" + d[3:]))
 
     def analyze(self) -> DataFrame:
         """Failure aggregation (AnalyzeFailures analog,

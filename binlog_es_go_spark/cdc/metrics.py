@@ -53,6 +53,9 @@ class LakeMetricsListener(StreamingQueryListener):
         self.metrics_dir = metrics_dir
         os.makedirs(metrics_dir, exist_ok=True)
         self.rows: list[tuple] = []
+        # live counters for the HTTP endpoint (MetricsServer)
+        self.totals = {"batches": 0, "rows": 0}
+        self.latest: dict[str, dict] = {}
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -71,6 +74,15 @@ class LakeMetricsListener(StreamingQueryListener):
                 json.dumps([s.description for s in p.sources]),
             )
         )
+        self.totals["batches"] += 1
+        self.totals["rows"] += int(p.numInputRows)
+        self.latest[str(p.id)] = {
+            "batch_id": int(p.batchId),
+            "num_input_rows": int(p.numInputRows),
+            "process_rows_per_sec": float(p.processedRowsPerSecond or 0.0),
+            "batch_duration_ms": int(p.batchDuration),
+            "at": time.time(),
+        }
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -97,6 +109,83 @@ class LakeMetricsListener(StreamingQueryListener):
             os.path.join(self.metrics_dir, f"m-{uuid.uuid4().hex}")
         )
         return len(rows)
+
+
+class MetricsServer:
+    """Live ``/metrics`` (Prometheus text format) + ``/healthz`` endpoint.
+
+    The analog of the reference's HTTP metrics server
+    (``pkg/metrics/metrics.go:9-80``, wiring ``cmd/binlog-es-go/
+    main.go:435-481``): a stdlib ThreadingHTTPServer on a daemon thread
+    serving the listener's live counters — a way to probe a RUNNING tail,
+    complementing the parquet metrics log used for offline analysis.
+
+    ``health_probe``: optional callable -> bool (e.g. ``query.isActive``);
+    /healthz returns 200/ok while it is truthy, 503 otherwise.
+    """
+
+    def __init__(self, listener: LakeMetricsListener, port: int = 0, health_probe=None):
+        self.listener = listener
+        self.port = port
+        self.health_probe = health_probe
+        self._server = None
+        self._thread = None
+
+    def render_metrics(self) -> str:
+        li = self.listener
+        lines = [
+            "# TYPE binlog_spark_batches_total counter",
+            f"binlog_spark_batches_total {li.totals['batches']}",
+            "# TYPE binlog_spark_rows_total counter",
+            f"binlog_spark_rows_total {li.totals['rows']}",
+        ]
+        for qid, p in li.latest.items():
+            lbl = f'{{query="{qid}"}}'
+            lines += [
+                f"binlog_spark_last_batch_id{lbl} {p['batch_id']}",
+                f"binlog_spark_last_batch_rows{lbl} {p['num_input_rows']}",
+                f"binlog_spark_process_rows_per_sec{lbl} {p['process_rows_per_sec']}",
+                f"binlog_spark_last_batch_duration_ms{lbl} {p['batch_duration_ms']}",
+            ]
+        return "\n".join(lines) + "\n"
+
+    def start(self) -> int:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: ANN002 — silence per-request logs
+                pass
+
+            def do_GET(self):  # noqa: N802
+                if self.path.startswith("/metrics"):
+                    body = outer.render_metrics().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                elif self.path.startswith("/healthz"):
+                    ok = outer.health_probe() if outer.health_probe else True
+                    body = (b"ok" if ok else b"unhealthy")
+                    self.send_response(200 if ok else 503)
+                    self.send_header("Content-Type", "text/plain")
+                else:
+                    body = b"not found"
+                    self.send_response(404)
+                    self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
 
 
 def read_metrics(spark: SparkSession, metrics_dir: str):

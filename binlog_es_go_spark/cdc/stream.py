@@ -55,6 +55,7 @@ def start_tail(
     trigger: dict | None = None,
     on_error: Callable[[int, DataFrame, Exception], None] | None = None,
     salt_partitions: int | None = None,
+    circuit=None,
 ) -> StreamingQuery:
     """Start the incremental tail; returns the StreamingQuery handle.
 
@@ -63,17 +64,34 @@ def start_tail(
     (the reference's dead-letter-and-continue policy,
     ``pkg/bootstrap/runner.go:135-163``). Without a hook, errors propagate
     and stop the query (fail-stop).
+
+    ``circuit``: a ``CircuitBreaker`` (or config) — consecutive sink
+    failures open it and each subsequent attempt first waits out a capped
+    exponential backoff (``pkg/pipeline/sink/bulkwriter.go:50-96``), so a
+    persistently failing sink throttles the tail instead of dead-lettering
+    every batch at full speed; one success closes it.
     """
     from pyspark.sql import functions as F
 
+    from binlog_es_go_spark.cdc.circuit import CircuitBreaker, CircuitBreakerConfig
+
+    if isinstance(circuit, CircuitBreakerConfig):
+        circuit = CircuitBreaker(config=circuit)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(F.col("op").isin(*relevant_ops))
+        if circuit is not None:
+            circuit.before_attempt()
         try:
             apply_batch(
                 table, batch, mapper=mapper, batch_id=batch_id,
                 source="realtime", salt_partitions=salt_partitions,
             )
+            if circuit is not None:
+                circuit.record_success()
         except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+            if circuit is not None:
+                circuit.record_failure()
             if on_error is None:
                 raise
             on_error(batch_id, batch_df, exc)

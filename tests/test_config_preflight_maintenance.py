@@ -126,6 +126,43 @@ def test_metrics_listener(spark, tmp_path):
     assert summary["n_batches"] >= 1
 
 
+def test_metrics_http_endpoint(spark, tmp_path):
+    """Live /metrics + /healthz probe of a (simulated) running tail —
+    pkg/metrics/metrics.go:9-80 analog."""
+    import types
+    import urllib.request
+
+    from binlog_es_go_spark.cdc.metrics import LakeMetricsListener, MetricsServer
+
+    li = LakeMetricsListener(spark, str(tmp_path / "m"))
+    progress = types.SimpleNamespace(
+        id="q-1", batchId=7, timestamp="2026-01-01T00:00:00Z", numInputRows=1234,
+        inputRowsPerSecond=100.0, processedRowsPerSecond=456.7, batchDuration=89,
+        sources=[],
+    )
+    li.onQueryProgress(types.SimpleNamespace(progress=progress))
+
+    healthy = {"v": True}
+    srv = MetricsServer(li, port=0, health_probe=lambda: healthy["v"])
+    port = srv.start()
+    try:
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+        assert "binlog_spark_batches_total 1" in body
+        assert "binlog_spark_rows_total 1234" in body
+        assert 'binlog_spark_process_rows_per_sec{query="q-1"} 456.7' in body
+        assert urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").read() == b"ok"
+        healthy["v"] = False
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+    finally:
+        srv.stop()
+
+
 def test_compaction_preserves_state_and_shrinks_files(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
     log = generate_changelog(spark, 3000, n_repos=20, paths_per_repo=10, delete_ratio=0.15)

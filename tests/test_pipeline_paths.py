@@ -99,6 +99,65 @@ def test_streaming_tail_converges(spark, tmp_path):
     assert len(applied_offsets(t)) == 8
 
 
+def test_circuit_breaker_backoff_ladder():
+    """Pure-unit: open after threshold, exponential capped backoff, close
+    on success (pkg/pipeline/sink/bulkwriter.go:50-96 semantics)."""
+    from binlog_es_go_spark.cdc.circuit import CircuitBreaker, CircuitBreakerConfig
+
+    slept = []
+    b = CircuitBreaker(CircuitBreakerConfig(failure_threshold=2, base_backoff_ms=100, max_backoff_ms=400),
+                       sleep=slept.append)
+    b.before_attempt(); b.record_failure()          # 1st failure: closed
+    b.before_attempt(); b.record_failure()          # 2nd: opens
+    assert b.is_open and b.opens == 1
+    b.before_attempt(); b.record_failure()          # waited 100ms, probe fails
+    b.before_attempt(); b.record_failure()          # waited 200ms
+    b.before_attempt(); b.record_failure()          # waited 400ms
+    b.before_attempt(); b.record_success()          # waited 400ms (capped), probe succeeds
+    assert slept == [0.1, 0.2, 0.4, 0.4]
+    assert not b.is_open and b.current_backoff_ms() == 0
+
+
+def test_circuit_breaker_throttles_failing_sink_then_recovers(spark, tmp_path):
+    """A sink failing k batches opens the circuit (backoff sleeps observed);
+    recovery resumes cleanly and later batches land."""
+    from binlog_es_go_spark.cdc.circuit import CircuitBreaker, CircuitBreakerConfig
+
+    events_dir, ckpt = str(tmp_path / "ev"), str(tmp_path / "ck")
+    log = generate_changelog(spark, 500, n_repos=10, paths_per_repo=5, seed=13, delete_ratio=0.0)
+    for i in range(5):
+        log.filter((F.col("offset") >= i * 100) & (F.col("offset") < (i + 1) * 100)).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+    t = fresh_table(spark, tmp_path, "cb_t")
+
+    sleeps: list[float] = []
+    breaker = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=3, base_backoff_ms=200, max_backoff_ms=1000),
+        sleep=lambda s: sleeps.append(round(s, 3)),
+    )
+    calls = {"n": 0}
+
+    def flaky_mapper(df):
+        calls["n"] += 1
+        if calls["n"] <= 4:
+            raise RuntimeError("sink down")
+        return df
+
+    dead: list[int] = []
+    run_tail_until_drained(
+        t, spark, events_dir, ckpt, timeout_sec=300, max_files_per_trigger=1,
+        mapper=flaky_mapper, on_error=lambda bid, df, exc: dead.append(bid),
+        circuit=breaker,
+    )
+    assert dead == [0, 1, 2, 3]
+    assert breaker.opens == 1
+    # attempts 4 and 5 each waited out the ladder: 200ms then 400ms
+    assert sleeps == [0.2, 0.4]
+    assert not breaker.is_open          # success closed it
+    assert t.read().count() > 0         # the recovered batch landed
+
+
 def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     events_dir = str(tmp_path / "ev2")
     ckpt = str(tmp_path / "ckpt2")
@@ -116,6 +175,45 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     got = t.read().select("repo", "path", "content").toPandas()
     assert table_digest(got) == table_digest(oracle[["repo", "path", "content"]])
     assert table_digest(got) != mid_digest  # it actually advanced
+
+
+def test_tail_runs_from_rate_source(spark, tmp_path):
+    """The 'Kafka is a readStream swap' claim, exercised: the same
+    start_tail + apply core consumes a non-file source (rate) with zero
+    apply-path changes — only the readStream line differs."""
+    import time as _time
+
+    from binlog_es_go_spark.cdc.stream import start_tail
+
+    payload_t = "struct<commit:string,lang:string,content:string>"
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    chg = rate.select(
+        F.col("value").alias("offset"),
+        F.pmod(F.col("value"), F.lit(4)).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("value"), F.lit(20)).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.pmod(F.col("value"), F.lit(7)).cast("string")).alias("path"),
+        F.lit(None).cast(payload_t).alias("before"),
+        F.struct(
+            F.sha2(F.col("value").cast("string"), 256).alias("commit"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("content@"), F.col("value").cast("string")).alias("content"),
+        ).alias("after"),
+        F.col("timestamp").alias("ts"),
+    )
+    t = fresh_table(spark, tmp_path, "rate_t", n_buckets=8)
+    q = start_tail(t, chg, str(tmp_path / "rate_ckpt"), trigger={"processingTime": "1 second"})
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and t.current_version() == 0:
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert t.current_version() > 0, "no batch committed from the rate source"
+    assert t.read().count() > 0
+    offs = applied_offsets(t)
+    assert offs and all(int(v) >= 0 for v in offs.values())
 
 
 def test_deadletter_record_and_replay(spark, tmp_path, base_source):
