@@ -14,10 +14,12 @@ same plan — runs at local[N] and local[4N] with shuffle partitions scaled
 proportionally; efficiency = (throughput_4N / throughput_N) / 4.
 
 Measurement hygiene on this sandbox (virtualized, host capacity
-fluctuates by minutes): each level runs REPS times INTERLEAVED with the
-other level, each run in a fresh session with an untimed warmup batch
-(pays JIT/codegen once), and per-level throughput is the max across runs.
-Input and lake both live on tmpfs so the noisy virtio disk is out of the
+fluctuates by minutes): >=BENCH_MIN_PAIRS (3) interleaved N/4N pairs,
+each run in a fresh session with an untimed warmup batch (pays
+JIT/codegen once). PRIMARY efficiency = median of the paired ratios with
+>1.0 pairs clamped and flagged as host noise (superlinear is physically
+impossible for this job); best pair + peak ratio are secondary. Input
+and lake both live on tmpfs so the noisy virtio disk is out of the
 measurement.
 """
 
@@ -34,8 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "40000000"))
+# 20M (not 40M) so >=3 interleaved scaling pairs fit the budget: the
+# median-of-pairs estimator needs sample size more than it needs per-run
+# amortization (serial floor ~2.5s is ~10% of the 2-core run at 20M).
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "20000000"))
 WARMUP_EVENTS = int(os.environ.get("BENCH_WARMUP_EVENTS", "200000"))
+MIN_PAIRS = int(os.environ.get("BENCH_MIN_PAIRS", "3"))
 REPS = int(os.environ.get("BENCH_REPS", "1"))
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
@@ -146,15 +152,14 @@ def main() -> None:
     cores_4n = cores_n * 4
     runs_n: list[float] = []
     runs_4n: list[float] = []
-    # adaptive reps: always run at least REPS interleaved pairs, then keep
-    # adding pairs while the remaining time budget allows a full pair —
-    # more paired samples = better best-pair estimate under host noise,
-    # with no timeout risk
+    # Sampling policy: ALWAYS run at least MIN_PAIRS interleaved pairs
+    # (median needs >=3 samples to mean anything on this noisy host), then
+    # keep adding pairs while the remaining budget allows a full pair.
     budget = float(os.environ.get("BENCH_BUDGET_SEC", "420"))
     bench_t0 = time.time()
     rep = 0
     pair_cost = None
-    while rep < REPS or (
+    while rep < max(REPS, MIN_PAIRS) or (
         pair_cost is not None and (time.time() - bench_t0) + pair_cost * 1.2 < budget
     ):
         pair_start = time.time()
@@ -167,10 +172,19 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     thr_n, thr_4n = max(runs_n), max(runs_4n)
-    # primary estimator: the best PAIRED ratio (adjacent interleaved runs
-    # share host conditions); peak-rate ratio reported alongside
+    # PRIMARY estimator: median PAIRED ratio (adjacent interleaved runs
+    # share host conditions; the median rejects the minutes when the host
+    # under-delivered to one side). A ratio > 1.0 is physically impossible
+    # for this job and means the N-side run caught a bad host minute —
+    # clamp it and flag the pair as noise rather than let it flatter the
+    # result. Best pair + peak ratio reported as secondary evidence.
+    import statistics
+
     paired = [(b / a) / (cores_4n / cores_n) for a, b in zip(runs_n, runs_4n)]
-    efficiency = max(max(paired), (thr_4n / thr_n) / (cores_4n / cores_n))
+    noise_pairs = sum(1 for p in paired if p > 1.0)
+    clamped = [min(p, 1.0) for p in paired]
+    efficiency = statistics.median(clamped)
+    efficiency_best = min(max(max(paired), (thr_4n / thr_n) / (cores_4n / cores_n)), 1.0)
 
     print("headline queries ...", file=sys.stderr)
     timings, total = run_headline_queries()
@@ -190,8 +204,10 @@ def main() -> None:
             "events_per_sec_4n": thr_4n,
             "runs_n": runs_n,
             "runs_4n": runs_4n,
-            "scaling_efficiency": round(efficiency, 3),
-            "paired_efficiencies": [round(x, 3) for x in paired],
+            "scaling_efficiency": round(efficiency, 3),           # median of clamped pairs
+            "scaling_efficiency_best_pair": round(efficiency_best, 3),
+            "paired_efficiencies": [round(x, 3) for x in paired],  # raw (unclamped)
+            "noise_pairs_gt_1": noise_pairs,
         },
     }
     print(json.dumps(result))

@@ -27,7 +27,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description="binlog-es-go-spark pipeline runner")
     ap.add_argument("--mode", required=True,
                     choices=["realtime", "bootstrap", "self-check", "replay-deadletters"])
-    ap.add_argument("--target", required=True, help="lake table root")
+    ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (realtime)")
@@ -61,6 +61,8 @@ def main() -> int:
 
             cfg = dataclasses.replace(cfg, target_table_path=args.target)
     else:
+        if not args.target:
+            ap.error("--target is required without --config")
         cfg = SyncTaskConfig(
             name="cli", target_table_path=args.target, key_cols=key_cols,
             n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
@@ -77,12 +79,13 @@ def main() -> int:
         from binlog_es_go_spark.cdc.bootstrap import run_full_scan
 
         source = spark.read.parquet(args.source)
-        if not LakeTable.exists(args.target):
+        if not LakeTable.exists(cfg.target_table_path):
             from pyspark.sql import types as T
 
             schema = T.StructType([f for f in source.schema.fields])
-            LakeTable.create(spark, args.target, schema, key_cols=key_cols, n_buckets=args.n_buckets)
-        table = LakeTable.load(spark, args.target)
+            LakeTable.create(spark, cfg.target_table_path, schema, key_cols=key_cols,
+                             n_buckets=cfg.n_buckets)
+        table = LakeTable.load(spark, cfg.target_table_path)
         res = run_full_scan(table, source, epoch_offset=args.epoch_offset, where=args.where)
         print(f"bootstrap committed v{res.version} ({len(res.affected_buckets)} buckets, {res.wall_sec:.1f}s)")
         return 0
@@ -128,7 +131,7 @@ def main() -> int:
     # replay-deadletters (cmd/binlog-es-go/main.go:503-561 analog)
     from binlog_es_go_spark.cdc.deadletter import DeadLetterLog, replay_dead_letters
 
-    table = LakeTable.load(spark, args.target)
+    table = LakeTable.load(spark, cfg.target_table_path)
     dl = DeadLetterLog(spark, args.deadletters)
     source = spark.read.parquet(args.source)
     res = replay_dead_letters(table, dl, source, epoch_offset=args.epoch_offset)

@@ -92,6 +92,33 @@ def test_semi_join_for_reverse_lookup(spark):
     assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan[:600]
 
 
+def test_recompute_semi_joins_broadcast_key_side(spark):
+    """Recompute-mode scale shape: the (small) affected-key set must
+    BROADCAST against the (huge) main source table — the main table is
+    scanned, never shuffled, per micro-batch."""
+    main_src = spark.read.parquet(f"{SF}/customer.parquet")
+    keys = main_src.select("c_custkey").filter("c_custkey < 50").distinct()
+    found = main_src.join(keys, on=["c_custkey"], how="left_semi")
+    plan = plan_of(found)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
+    # and the big side must carry no Exchange (scan feeds the join directly)
+    big_side = plan.split("BroadcastHashJoin")[1]
+    scan_part = big_side.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in scan_part, plan[:800]
+
+
+def test_simhash_is_jvm_only(spark):
+    """The SimHash signature path must stay inside codegen — no Python
+    eval nodes (it replaced a pandas UDF in round 2)."""
+    from binlog_es_go_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash64(docs, "text", "doc_id"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python in simhash path: {marker}"
+    assert "Exchange" not in plan, "simhash must be map-side only"
+
+
 def test_ann_broadcasts_queries_not_corpus(spark):
     from binlog_es_go_spark.operators.similarity import cosine_topk
 
