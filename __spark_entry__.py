@@ -3,9 +3,13 @@
 ``entry(spark)`` runs the flagship enrichment-mapping query on sf0.001.
 ``queries()`` exposes one entry per implemented operator from SURVEY.md §2
 plus the training-data-pipeline suite; ``oracle_sql()`` carries the DuckDB
-ANSI equivalent for every SQL-expressible one (rows-only checks for the
-genuinely non-SQL ops: full CDC lake replay, LSH approximations, crc32
-routing, multimodal plumbing).
+ANSI equivalent for every query except ``cdc_replay_lake`` (the
+generated-changelog twin of the hash-gated ``cdc_replay_events``). The LSH
+families (minhash md5 mode, simhash md5-bit, hyperplane IVF/near-dup) are
+deliberately defined over hashes both engines can compute, so even the
+approximate operators sit under the exact value-hash gate; routing uses
+zlib-generated golden vectors; multimodal payloads are seeded sha256
+constructions the oracle re-derives.
 
 Determinism rules used throughout so value-hashes match across engines:
 integer outputs cast to BIGINT on both sides; float outputs rounded after
@@ -646,6 +650,56 @@ WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.35
 """
 
 
+def _embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE path of embedding near-dup (hyperplane LSH buckets, only
+    same-bucket pairs scored) under the hash gate — the oracle embeds the
+    same seeded planes and reproduces bucketing + exact verify."""
+    from binlog_es_go_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = embedding_near_dups(emb, "embedding", "vec_id", threshold=0.35, n_planes=4, seed=7, dim=_EMB_DIM)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_lsh_oracle_sql(threshold: float = 0.35, n_planes: int = 4, seed: int = 7) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, _EMB_DIM))
+    bits = []
+    for p in planes:
+        lits = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+               f"i -> v[i] * ({lits})[i]))")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+bk AS (SELECT vec_id, v, {bucket} AS bkt FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _frame_sample(spark, sf_dir):
+    """Video frame-sampling work-list (pure JVM sequence+explode)."""
+    from binlog_es_go_spark.operators.multimodal import frame_sample_plan, synthesize_media
+
+    plan = frame_sample_plan(synthesize_media(spark, n=64), every_ms=1000)
+    return plan.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH m AS (SELECT unnest(range(0, 64)) AS media_id),
+vids AS (SELECT media_id, media_id * 100 AS duration_ms FROM m WHERE media_id % 3 = 2)
+SELECT media_id,
+       unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000))::BIGINT AS frame_ts_ms
+FROM vids
+"""
+
+
 def _lang_id_counts(spark, sf_dir):
     from binlog_es_go_spark.operators.text import lang_id
 
@@ -1133,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_neardup_brute": _embedding_neardup_brute,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "frame_sample_plan": _frame_sample,
         "lang_id_counts": _lang_id_counts,
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
@@ -1173,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "embedding_neardup_brute": _EMB_NEARDUP_ORACLE,
+        "embedding_neardup_lsh": _embedding_lsh_oracle_sql(),
+        "frame_sample_plan": _FRAME_SAMPLE_ORACLE,
         "lang_id_counts": _LANG_ID_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
         "token_counts": _TOKEN_ORACLE,
