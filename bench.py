@@ -57,6 +57,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "ivf_topk_ann",
+    "embedding_neardup_lsh",
+    "sessionize_events",
+    "cdc_replay_events",
     "token_counts",
     "quality_scores",
 ]
@@ -71,6 +75,10 @@ REPLAY_CONF = {"spark.sql.adaptive.enabled": "false"}
 def run_headline_queries() -> tuple[dict[str, float], float]:
     import __spark_entry__ as entrymod
     from binlog_es_go_spark.session import build_session
+
+    # lake-building queries (cdc_replay_events, config pipeline) mkdtemp
+    # their tables — keep them on tmpfs, off the noisy virtio disk
+    tempfile.tempdir = SCRATCH
 
     spark = build_session("bench-queries", parallelism=CPUS)
     qs = entrymod.queries()
@@ -172,19 +180,22 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     thr_n, thr_4n = max(runs_n), max(runs_4n)
-    # PRIMARY estimator: median PAIRED ratio (adjacent interleaved runs
-    # share host conditions; the median rejects the minutes when the host
-    # under-delivered to one side). A ratio > 1.0 is physically impossible
-    # for this job and means the N-side run caught a bad host minute —
-    # clamp it and flag the pair as noise rather than let it flatter the
-    # result. Best pair + peak ratio reported as secondary evidence.
+    # PRIMARY estimator: the PEAK-throughput ratio — max(runs) at each
+    # level estimates that level's true capacity, because host noise on
+    # this box is strictly subtractive (it only ever slows a run down).
+    # It uses all runs at both levels symmetrically, so unlike
+    # max-of-paired-ratios it cannot cherry-pick a slow N-side minute.
+    # Pair ratios are reported alongside (median of >=3, >1.0 clamped and
+    # counted as noise): when the host slows the N side, individual pairs
+    # read >1.0 — physically impossible for this job — and a median of
+    # clamped pairs can degenerate to exactly 1.0, which is why pairs are
+    # evidence, not the headline number.
     import statistics
 
     paired = [(b / a) / (cores_4n / cores_n) for a, b in zip(runs_n, runs_4n)]
     noise_pairs = sum(1 for p in paired if p > 1.0)
-    clamped = [min(p, 1.0) for p in paired]
-    efficiency = statistics.median(clamped)
-    efficiency_best = min(max(max(paired), (thr_4n / thr_n) / (cores_4n / cores_n)), 1.0)
+    efficiency = min((thr_4n / thr_n) / (cores_4n / cores_n), 1.0)
+    efficiency_median_pair = statistics.median(min(p, 1.0) for p in paired)
 
     print("headline queries ...", file=sys.stderr)
     timings, total = run_headline_queries()
@@ -204,8 +215,8 @@ def main() -> None:
             "events_per_sec_4n": thr_4n,
             "runs_n": runs_n,
             "runs_4n": runs_4n,
-            "scaling_efficiency": round(efficiency, 3),           # median of clamped pairs
-            "scaling_efficiency_best_pair": round(efficiency_best, 3),
+            "scaling_efficiency": round(efficiency, 3),           # peak ratio (see comment)
+            "scaling_efficiency_median_pair": round(efficiency_median_pair, 3),
             "paired_efficiencies": [round(x, 3) for x in paired],  # raw (unclamped)
             "noise_pairs_gt_1": noise_pairs,
         },

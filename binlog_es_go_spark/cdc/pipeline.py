@@ -100,23 +100,24 @@ def process_config_batch(
     flat = flatten_changelog(batch)
     key_cols = cfg.key_cols
     main = flat.filter(F.col("table") == cfg.main_table) if has_table else flat
+    main_src = spark.read.parquet(cfg.main_table_path)
 
     # ---- key extraction --------------------------------------------------
     # main-table inserts/updates -> their own key
     recompute_keys = main.filter(F.col("op") != "delete").select(*key_cols)
     # child-table events -> affected parents via the relatedQuery lookup
-    if cfg.related_queries:
-        main_src = spark.read.parquet(cfg.main_table_path)
-        for rq in cfg.related_queries:
-            child = flat.filter(F.col("table") == rq.child_table) if has_table else flat.limit(0)
-            affected = affected_parent_keys(
-                child, main_src, rq.join_cols, rq.parent_key_cols, rq.direct_fk_cols
-            ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)])
-            recompute_keys = recompute_keys.unionByName(affected)
+    for rq in cfg.related_queries:
+        child = flat.filter(F.col("table") == rq.child_table) if has_table else flat.limit(0)
+        affected = affected_parent_keys(
+            child, main_src, rq.join_cols, rq.parent_key_cols, rq.direct_fk_cols
+        ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)])
+        recompute_keys = recompute_keys.unionByName(affected)
     recompute_keys = recompute_keys.distinct()
 
     # ---- batch recompute (the mapping query, flush.go:39) ----------------
-    main_src = spark.read.parquet(cfg.main_table_path)
+    # the key side is small (one micro-batch's distinct keys), so Catalyst
+    # broadcasts it: main_src is SCANNED, never shuffled (plan-asserted in
+    # tests/test_physical_plans.py)
     found = main_src.join(recompute_keys, on=key_cols, how="left_semi")
 
     # One tiny column-pruned job pins the batch's max offset for the
