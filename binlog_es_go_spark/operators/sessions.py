@@ -63,6 +63,55 @@ def sessionize(
     return sessions.groupBy(key_col, "session_id").agg(*aggs)
 
 
+def windowed_stream_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Event-time windowed aggregation with a late-data watermark.
+
+    The streaming twin of the batch ``windowed_event_agg`` contract query:
+    tumbling (or sliding) event-time windows, append-mode-safe because the
+    watermark bounds state — windows older than ``watermark`` behind the
+    max seen event time finalize and emit; events later than that drop
+    (the documented late-data policy, not silent wrong answers).
+    """
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(30,10)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> effectively-once event feed: state-bounded streaming
+    dedup. Duplicates arriving within ``watermark`` of the original are
+    dropped; state for older keys is GC'd (the streaming analog of the
+    MERGE offset guard, for pipelines that want a clean feed BEFORE the
+    sink)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: float = 30.0,
