@@ -112,6 +112,20 @@ def hyperplane_bucket(vec_col: str, planes) -> Column:
     return F.concat(*bits)
 
 
+def _probe_buckets(bucket: Column, n_planes: int) -> Column:
+    """The bucket plus all hamming-1 neighbors (multi-probe): flipping the
+    sign bit whose hyperplane the vector was closest to recovers most
+    borderline misses — the standard recall dial for sign-LSH."""
+    variants = [bucket]
+    for i in range(n_planes):
+        pre = F.substring(bucket, 1, i)
+        bit = F.substring(bucket, i + 1, 1)
+        post = F.substring(bucket, i + 2, n_planes - i - 1)
+        flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+        variants.append(F.concat(pre, flipped, post))
+    return F.array(*variants)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,12 +136,14 @@ def ivf_topk(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """LSH-bucketed ANN: probe only the query's bucket (approximate).
+    """LSH-bucketed ANN: probe the query's bucket (approximate).
 
     2^n_planes inverted lists; recall is tunable by n_planes (fewer planes
-    -> bigger lists -> higher recall & cost). Multi-probe (flipping one
-    bit) would raise recall further; kept single-probe for clarity.
+    -> bigger lists -> higher recall & cost) and by ``multi_probe``, which
+    also probes every hamming-1 bucket (1 + n_planes lists per query —
+    still a vanishing fraction of the corpus at scale).
 
     ``dim``: embedding dimensionality. Pass it when known (schema
     contract) — probing it costs a driver job on the corpus.
@@ -142,6 +158,10 @@ def ivf_topk(
                       hyperplane_bucket(vec_col, planes).alias("bkt"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"),
                        hyperplane_bucket(vec_col, planes).alias("bkt"))
+    if multi_probe:
+        q = q.select(
+            "query_id", "qv", F.explode(_probe_buckets(F.col("bkt"), n_planes)).alias("bkt")
+        )
     scored = c.join(F.broadcast(q), on="bkt").select(
         "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")
     )

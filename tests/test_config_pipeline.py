@@ -206,6 +206,30 @@ def test_yaml_config_tail_end_to_end(spark, tmp_path):
     assert s[7] == ("cust7", "N1", 100, "update")
 
 
+def test_recompute_schema_evolution_widens_target(spark, tmp_path):
+    """The source of truth gains a column between batches (ALTER TABLE
+    upstream): recomputed rows carry it, the target schema widens, and
+    untouched rows read back null-padded."""
+    import dataclasses
+
+    src_path, _, table, cfg = _setup(spark, tmp_path)
+    process_config_batch(spark, cfg, table, _batch0(spark), batch_id=0)
+
+    # upstream ALTER: add a 'tier' column to the main source
+    evolved_path = str(tmp_path / "main_src_v2")
+    spark.read.parquet(src_path).withColumn(
+        "tier", F.concat(F.lit("t"), (F.col("custkey") % 2).cast("string"))
+    ).write.parquet(evolved_path)
+    cfg2 = dataclasses.replace(cfg, main_table_path=evolved_path)
+
+    # child change recomputes only nationkey=1 parents
+    process_config_batch(spark, cfg2, table, _batch1(spark), batch_id=1)
+    rows = {r["custkey"]: r["tier"] for r in table.read().select("custkey", "tier").collect()}
+    assert rows[1] == "t1" and rows[7] == "t1"      # recomputed: evolved column filled
+    assert rows[2] is None and rows[5] is None      # untouched: null-padded
+    assert "tier" in [f.name for f in table.snapshot().schema.fields]
+
+
 def test_load_config_rejects_invalid(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text("name: x\ntarget_table_path: /t\nkey_cols: [k]\ndelete_on_missing: true\n")
