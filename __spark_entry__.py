@@ -434,6 +434,41 @@ SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_value FROM event
 """
 
 
+def _transform_binary_roundtrip(spark, sf_dir):
+    """bytes->string transform (NormalizeBytesToString, transform.go:10-24):
+    utf-8 encode then the transform must return the identical text."""
+    from binlog_es_go_spark.operators.transforms import normalize_binary_to_string
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("decoded")
+    )
+    return normalize_binary_to_string(docs, ["decoded"])
+
+
+_TRANSFORM_BINARY_ORACLE = "SELECT doc_id, text AS decoded FROM documents"
+
+
+def _preview_top_n(spark, sf_dir):
+    """PreviewTopN debug projection (transform.go:101-129): first n rows by
+    key, arrays truncated to a sample."""
+    from binlog_es_go_spark.operators.functions import words
+    from binlog_es_go_spark.operators.transforms import preview_top_n
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("words")
+    ).orderBy("doc_id")
+    return preview_top_n(docs, n=20, array_sample=3).select(
+        "doc_id", F.array_join("words", " ").alias("sample_words")
+    )
+
+
+_PREVIEW_ORACLE = r"""
+SELECT doc_id, array_to_string(ws[1:3], ' ') AS sample_words
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+ORDER BY doc_id LIMIT 20
+"""
+
+
 def _shard_router_mod(spark, sf_dir):
     from binlog_es_go_spark.operators.salting import MOD, shard_for_key
 
@@ -1177,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_group_concat": _ordered_group_concat_lines,
         "transform_split_tokens": _transform_split,
         "transform_json_decode": _transform_json,
+        "transform_binary_roundtrip": _transform_binary_roundtrip,
+        "preview_top_n": _preview_top_n,
         "shard_router_mod": _shard_router_mod,
         "shard_router_crc32": _shard_router_crc32,
         "windowed_event_agg": _windowed_event_agg,
@@ -1219,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         "ordered_group_concat": _OGC_ORACLE,
         "transform_split_tokens": _TRANSFORM_SPLIT_ORACLE,
         "transform_json_decode": _TRANSFORM_JSON_ORACLE,
+        "transform_binary_roundtrip": _TRANSFORM_BINARY_ORACLE,
+        "preview_top_n": _PREVIEW_ORACLE,
         "shard_router_mod": _SHARD_MOD_ORACLE,
         "shard_router_crc32": _crc32_oracle_sql(),
         "windowed_event_agg": _WINDOWED_ORACLE,
