@@ -814,6 +814,33 @@ FROM documents
 """
 
 
+def _winnowing_fingerprints(spark, sf_dir):
+    """Winnowing rolling fingerprints (md5 mode) — sparse w-gram signature,
+    selection by last-nibble mod, exploded to (doc_id, fp) rows."""
+    from binlog_es_go_spark.operators.text import rolling_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.explode(rolling_fingerprints("text", window=8, keep_every=4, hash_fn="md5")).alias("fp"),
+    )
+
+
+_WINNOWING_ORACLE = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE doc_id < 300),
+g AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+        THEN list_transform(range(1, len(ws) - 6),
+                            i -> md5(array_to_string(ws[i : i + 7], ' ')))
+        ELSE [md5(array_to_string(ws, ' '))] END AS hs FROM w),
+kept AS (SELECT doc_id,
+                list_sort(list_distinct(list_filter(hs,
+                  h -> (strpos('0123456789abcdef', substr(h, 32, 1)) - 1) % 4 = 0))) AS fps
+         FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM kept
+"""
+
+
 def _sessionize_events(spark, sf_dir):
     """Event-time session windows (gap 30 min) — gaps-and-islands."""
     from binlog_es_go_spark.operators.sessions import sessionize
@@ -1219,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_agg": _windowed_event_agg,
         "salted_aggregate": _salted_agg,
         "sessionize_events": _sessionize_events,
+        "winnowing_fingerprints": _winnowing_fingerprints,
         "dedup_exact_groups": _dedup_exact_groups,
         "doc_fingerprints": _doc_fingerprints,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -1263,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_agg": _WINDOWED_ORACLE,
         "salted_aggregate": _SALTED_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
+        "winnowing_fingerprints": _WINNOWING_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "doc_fingerprints": _DOC_FP_ORACLE,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,

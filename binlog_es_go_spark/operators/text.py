@@ -101,13 +101,27 @@ def doc_fingerprint(col: Column | str) -> Column:
     return content_fingerprint(col)
 
 
-def rolling_fingerprints(col: Column | str, window: int = 8, keep_every: int = 4) -> Column:
+def rolling_fingerprints(
+    col: Column | str, window: int = 8, keep_every: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
     """Winnowing-style rolling fingerprints: hash each word w-gram, keep
     hashes ≡ 0 mod keep_every — a deterministic sparse signature robust to
-    local edits (near-dup evidence / plagiarism-style matching)."""
+    local edits (near-dup evidence / plagiarism-style matching).
+
+    ``hash_fn``: "xxhash64" (production, cheap) keeps array<long>; "md5"
+    keeps array<string> with selection by the LAST hex nibble mod
+    keep_every — the same rule an ANSI oracle can evaluate, putting the
+    winnowing pipeline under the cross-engine hash gate (keep_every <= 16).
+    """
     w = words(col)
     k = F.size(w) - F.lit(window - 1)
+    if hash_fn == "md5":
+        h = lambda g: F.md5(g)  # noqa: E731
+        keep = lambda x: F.pmod(F.conv(F.substring(x, 32, 1), 16, 10).cast("int"), F.lit(keep_every)) == 0  # noqa: E731
+    else:
+        h = lambda g: F.xxhash64(g)  # noqa: E731
+        keep = lambda x: F.pmod(x, F.lit(keep_every)) == 0  # noqa: E731
     grams = F.when(
-        k > 0, F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
-    return F.sort_array(F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(keep_every)) == 0)))
+        k > 0, F.transform(F.sequence(F.lit(1), k), lambda i: h(F.concat_ws(" ", F.slice(w, i, window))))
+    ).otherwise(F.array(h(F.concat_ws(" ", w))))
+    return F.sort_array(F.array_distinct(F.filter(grams, keep)))
