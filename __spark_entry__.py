@@ -1189,6 +1189,73 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _lake_snapshot_diff(spark, sf_dir):
+    """Incremental lake read: the row-level changelog BETWEEN two snapshots
+    (Iceberg CDC-read analog) — events replayed in 2 batches, then
+    snapshot_changes(v1, v2) must equal the SQL diff of the two LWW states
+    (insert = newly visible, delete = tombstoned, update = guard advanced)."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.changes import snapshot_changes
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    after_t = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    log = ev.select(
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        _op_expr().alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.when(_op_expr() != "delete", F.struct(F.col("event_type"), F.col("value").cast("double")))
+        .cast(after_t)
+        .alias("after"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="lake_diff_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["user_id"], n_buckets=16)
+    apply_batch(table, log.filter(F.col("offset") < 5000), batch_id=0)   # -> v1
+    apply_batch(table, log.filter(F.col("offset") >= 5000), batch_id=1)  # -> v2
+    ch = snapshot_changes(table, 1, 2)
+    return ch.select("op", "user_id", F.col("offset").alias("change_offset"))
+
+
+_LAKE_DIFF_ORACLE = f"""
+WITH v1 AS (SELECT user_id, event_id, op FROM (
+        SELECT user_id, event_id, {_OP_SQL} AS op,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events WHERE event_id < 5000) WHERE rn = 1),
+v2 AS (SELECT user_id, event_id, op FROM (
+        SELECT user_id, event_id, {_OP_SQL} AS op,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events) WHERE rn = 1),
+j AS (SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+             v1.op AS op1, v2.op AS op2, v1.event_id AS e1, v2.event_id AS e2
+      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+d AS (SELECT user_id, e2,
+             (op1 IS NOT NULL AND op1 <> 'delete') AS vis1,
+             (op2 IS NOT NULL AND op2 <> 'delete') AS vis2,
+             e1 FROM j)
+SELECT CASE WHEN NOT vis1 AND vis2 THEN 'insert'
+            WHEN vis1 AND NOT vis2 THEN 'delete'
+            ELSE 'update' END AS op,
+       user_id, e2 AS change_offset
+FROM d
+WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
+   OR (vis1 AND vis2 AND e2 > coalesce(e1, -1))
+"""
+
+
 def _multimodal_features(spark, sf_dir):
     """Binary-column plumbing under the hash gate: the mapInPandas fake
     decoder reads the actual payload BYTES; the oracle re-derives the same
@@ -1262,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_ann": _ivf_ann,
         "cdc_replay_lake": _cdc_replay_lake,
         "cdc_replay_events": _cdc_replay_events,
+        "lake_snapshot_diff": _lake_snapshot_diff,
         "multimodal_features": _multimodal_features,
         "config_recompute_pipeline": _config_recompute_pipeline,
     }
@@ -1304,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_ORACLE,
         "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
+        "lake_snapshot_diff": _LAKE_DIFF_ORACLE,
         "simhash_near_dups": _simhash_oracle_sql(),
         "minhash_lsh_near_dups": _minhash_oracle_sql(),
         "ivf_topk_ann": _ivf_oracle_sql(),

@@ -1,0 +1,149 @@
+"""Incremental reads: the row-level changelog BETWEEN two lake snapshots.
+
+The reference is a one-way pipe (binlog -> index). A lake engine can close
+the loop: every committed snapshot is a consistent version, so the diff
+between two versions IS a changelog — the Iceberg "CDC read" /
+`table.changes(from, to)` analog. Downstream consumers (a second lake
+table, a search-index exporter, a cache invalidator) replay it through the
+same ``apply_batch`` core, giving lake-to-lake incremental replication
+with the exactly-once (offset, seq) guard for free.
+
+Scale shape: only buckets whose FILE LISTS differ between the manifests
+are read (bucket-pruned diff — a micro-batch commit touches few buckets,
+so an incremental consumer reads O(changed data), never O(table)), and
+the join is per-bucket co-partitioned by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.lake.table import DELETED_COL, LakeTable
+
+
+def changed_buckets(table: LakeTable, from_version: int, to_version: int) -> list[int]:
+    """Buckets whose file lists differ between the two manifests."""
+    s_from = table.snapshot(from_version)
+    s_to = table.snapshot(to_version)
+    all_b = set(s_from.buckets) | set(s_to.buckets)
+    return sorted(b for b in all_b if s_from.buckets.get(b) != s_to.buckets.get(b))
+
+
+def snapshot_changes(
+    table: LakeTable, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level diff ``from_version -> to_version`` as a changelog.
+
+    Output: ``op`` in {insert, update, delete}, the key columns, the NEW
+    payload (null for deletes), and ``offset``/``seq_in_tx``/``ts`` carried
+    from the new row's guard columns — shaped so ``apply_batch`` on
+    another table consumes it directly.
+
+    Semantics per key (visible = exists and not tombstoned):
+      invisible -> visible : insert
+      visible   -> visible with a higher (offset, seq) : update
+      visible   -> invisible : delete (offset from the tombstone)
+    """
+    to_version = table.current_version() if to_version is None else to_version
+    snap = table.snapshot(to_version)
+    key_cols = snap.key_cols
+    buckets = changed_buckets(table, from_version, to_version)
+    if not buckets:
+        return _empty_changelog(table, to_version)
+
+    payload_cols = [
+        f.name for f in snap.schema.fields
+        if f.name not in key_cols
+        and f.name not in ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
+    ]
+
+    def side(version: int, tag: str) -> DataFrame:
+        df = table.read(buckets=buckets, include_deleted=True, version=version)
+        vis = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        return df.select(
+            *key_cols,
+            vis.alias(f"{tag}_vis"),
+            F.coalesce(F.col("last_offset"), F.lit(-1)).alias(f"{tag}_off"),
+            F.coalesce(F.col("last_seq"), F.lit(0)).alias(f"{tag}_seq"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in payload_cols],
+            F.col("updated_at").alias(f"{tag}_ts"),
+        )
+
+    old = side(from_version, "o")
+    new = side(to_version, "n")
+    j = old.join(new, on=key_cols, how="full_outer")
+
+    o_vis = F.coalesce(F.col("o_vis"), F.lit(False))
+    n_vis = F.coalesce(F.col("n_vis"), F.lit(False))
+    advanced = (F.col("n_off") > F.coalesce(F.col("o_off"), F.lit(-1))) | (
+        (F.col("n_off") == F.col("o_off")) & (F.col("n_seq") > F.col("o_seq"))
+    )
+    op = (
+        F.when(~o_vis & n_vis, F.lit("insert"))
+        .when(o_vis & ~n_vis & F.col("n_off").isNotNull(), F.lit("delete"))
+        .when(o_vis & n_vis & advanced, F.lit("update"))
+        .otherwise(F.lit(None))
+    )
+    out = j.withColumn("op", op).filter(F.col("op").isNotNull())
+    return out.select(
+        F.col("op"),
+        *key_cols,
+        *[F.col(f"n_{c}").alias(c) for c in payload_cols],
+        F.col("n_off").cast("long").alias("offset"),
+        F.col("n_seq").cast("int").alias("seq_in_tx"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.col("n_ts").cast("timestamp").alias("ts"),
+    )
+
+
+def _empty_changelog(table: LakeTable, version: int) -> DataFrame:
+    snap = table.snapshot(version)
+    key_cols = snap.key_cols
+    payload_cols = [
+        f.name for f in snap.schema.fields
+        if f.name not in key_cols
+        and f.name not in ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
+    ]
+    df = table.read(buckets=[], version=version)
+    return df.select(
+        F.lit("insert").alias("op"),
+        *key_cols,
+        *payload_cols,
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ).limit(0)
+
+
+def replicate_changes(
+    source: LakeTable,
+    target: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    batch_id: int | None = None,
+):
+    """Lake-to-lake incremental replication: feed the snapshot diff through
+    the standard apply core (the target gets the same exactly-once
+    (offset, seq) guard, so overlapping/replayed ranges are no-ops)."""
+    from binlog_es_go_spark.cdc.apply import apply_batch
+
+    changes = snapshot_changes(source, from_version, to_version)
+    # apply_batch flattens 'after'; our diff is already flat — wrap payload
+    key_cols = source.snapshot().key_cols
+    payload_cols = [
+        c for c in changes.columns
+        if c not in key_cols and c not in ("op", "offset", "seq_in_tx", "partition_id", "ts")
+    ]
+    after_type = "struct<" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in changes.schema.fields if f.name in payload_cols
+    ) + ">"
+    wrapped = changes.select(
+        "offset", "partition_id", "seq_in_tx", "op", *key_cols,
+        F.when(F.col("op") != "delete", F.struct(*[F.col(c) for c in payload_cols]))
+        .cast(after_type).alias("after"),
+        "ts",
+    )
+    return apply_batch(target, wrapped, batch_id=batch_id, source="replicate")

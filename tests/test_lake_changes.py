@@ -1,0 +1,78 @@
+"""Incremental snapshot-diff reads + lake-to-lake replication."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlog_es_go_spark.cdc.apply import apply_batch
+from binlog_es_go_spark.cdc.events import generate_changelog
+from binlog_es_go_spark.cdc.oracle import apply_sequential, table_digest
+from binlog_es_go_spark.lake.changes import changed_buckets, replicate_changes, snapshot_changes
+from binlog_es_go_spark.lake.table import LakeTable
+
+PAYLOAD = T.StructType([T.StructField(n, T.StringType()) for n in ["repo", "path", "commit", "lang", "content"]])
+
+
+def _source_table(spark, tmp_path, log):
+    t = LakeTable.create(spark, str(tmp_path / "src"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(t, log.filter(F.col("offset") < 1000), batch_id=0)     # -> v1
+    apply_batch(t, log.filter(F.col("offset") >= 1000), batch_id=1)    # -> v2
+    return t
+
+
+def test_snapshot_changes_from_empty_is_full_insert_set(spark, tmp_path):
+    log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
+    log.cache().count()
+    t = _source_table(spark, tmp_path, log)
+    ch = snapshot_changes(t, 0, t.current_version())
+    assert ch.filter(F.col("op") != "insert").count() == 0
+    assert ch.count() == t.read().count()
+    # diff carries the NEW payload: content matches the table row by row
+    joined = ch.alias("c").join(t.read().alias("s"), on=["repo", "path"])
+    assert joined.filter(F.col("c.content") != F.col("s.content")).count() == 0
+
+
+def test_snapshot_changes_incremental_ops(spark, tmp_path):
+    log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
+    log.cache().count()
+    t = _source_table(spark, tmp_path, log)
+    ch = snapshot_changes(t, 1, 2).cache()
+
+    v1_keys = {(r["repo"], r["path"]) for r in t.read(version=1).select("repo", "path").collect()}
+    v2_keys = {(r["repo"], r["path"]) for r in t.read(version=2).select("repo", "path").collect()}
+    got = {(r["repo"], r["path"]): r["op"] for r in ch.collect()}
+    # every insert is new in v2; every delete was visible in v1 and gone in v2
+    for (repo, path), op in got.items():
+        if op == "insert":
+            assert (repo, path) in v2_keys and (repo, path) not in v1_keys
+        elif op == "delete":
+            assert (repo, path) in v1_keys and (repo, path) not in v2_keys
+        else:
+            assert (repo, path) in v1_keys and (repo, path) in v2_keys
+    # completeness: every key that changed visibility appears in the diff
+    for k in v2_keys - v1_keys:
+        assert got.get(k) == "insert"
+    for k in v1_keys - v2_keys:
+        assert got.get(k) == "delete"
+    # bucket pruning: the diff reads only buckets the second batch touched
+    assert set(changed_buckets(t, 1, 2)) <= set(range(8))
+
+
+def test_replicate_changes_lake_to_lake(spark, tmp_path):
+    log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
+    log.cache().count()
+    src = _source_table(spark, tmp_path, log)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+
+    replicate_changes(src, dst, 0, 1, batch_id=0)
+    replicate_changes(src, dst, 1, 2, batch_id=1)
+    d_src = table_digest(src.read().select("repo", "path", "content").toPandas())
+    d_dst = table_digest(dst.read().select("repo", "path", "content").toPandas())
+    assert d_dst == d_src
+    # replaying an overlapping range is a no-op (the target keeps the guard)
+    replicate_changes(src, dst, 0, 2, batch_id=2)
+    assert table_digest(dst.read().select("repo", "path", "content").toPandas()) == d_src
+    # and the replica equals the sequential oracle end to end
+    oracle = apply_sequential(log.toPandas())
+    assert d_dst == table_digest(oracle[["repo", "path", "content"]])
