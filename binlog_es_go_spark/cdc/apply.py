@@ -172,11 +172,23 @@ def filter_unapplied(changelog: DataFrame, offsets: dict[str, int]) -> DataFrame
     Cross-batch replay protection for restarts: the coarse filter here
     skips whole prefixes cheaply; the MERGE offset guard catches anything
     that slips through (belt and suspenders, both deterministic).
+
+    The reserved epoch partition (bootstrap's EPOCH_PARTITION, -2) is a
+    GLOBAL floor: a dump-based bootstrap at epoch E means "state as of
+    offset E on every partition", so events with offset <= E drop
+    regardless of partition — without this, a stale insert for a key whose
+    delete predates the dump (hence no tombstone) would resurrect it.
     """
     if not offsets:
         return changelog
-    pairs = [(int(p), o) for p, o in offsets.items()]
+    from binlog_es_go_spark.cdc.bootstrap import EPOCH_PARTITION
+
     expr = F.lit(True)
-    for p, o in pairs:
-        expr = expr & ~((F.col("partition_id") == p) & (F.col("offset") <= o))
+    floor = offsets.get(str(EPOCH_PARTITION))
+    if floor is not None:
+        expr = expr & (F.col("offset") > int(floor))
+    for p, o in offsets.items():
+        if int(p) == EPOCH_PARTITION:
+            continue
+        expr = expr & ~((F.col("partition_id") == int(p)) & (F.col("offset") <= o))
     return changelog.filter(expr)

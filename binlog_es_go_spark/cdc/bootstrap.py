@@ -28,6 +28,13 @@ from binlog_es_go_spark.lake.merge import MergeResult
 from binlog_es_go_spark.lake.table import LakeTable
 
 BOOTSTRAP_PARTITION = "bootstrap"
+# Bootstrap rows ride the reserved epoch partition: its recorded offset is
+# a GLOBAL floor ("state as of offset E, all partitions"), which
+# filter_unapplied applies to every partition — so a tail fed the full
+# changelog after a dump-based cutover skips the pre-epoch prefix instead
+# of replaying stale inserts against keys whose deletes predate the dump
+# (the dump carries no tombstones for those).
+EPOCH_PARTITION = -2
 
 
 def as_changelog(
@@ -48,7 +55,7 @@ def as_changelog(
     payload_cols = [c for c in source.columns if c not in key_cols]
     return source.select(
         F.lit(int(epoch_offset)).cast("long").alias("offset"),
-        F.lit(-1).cast("int").alias("partition_id"),
+        F.lit(EPOCH_PARTITION).cast("int").alias("partition_id"),
         F.lit(0).cast("int").alias("seq_in_tx"),
         F.lit("insert").alias("op"),
         *key_cols,

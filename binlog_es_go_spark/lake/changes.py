@@ -10,8 +10,10 @@ with the exactly-once (offset, seq) guard for free.
 
 Scale shape: only buckets whose FILE LISTS differ between the manifests
 are read (bucket-pruned diff — a micro-batch commit touches few buckets,
-so an incremental consumer reads O(changed data), never O(table)), and
-the join is per-bucket co-partitioned by construction.
+so an incremental consumer reads O(changed data), never O(table)). The
+old/new full-outer join then shuffles both pruned sides on the key; on a
+real cluster the same layout maps onto Iceberg's storage-partitioned
+join (both sides bucket(N, key)-partitioned), which elides that shuffle.
 """
 
 from __future__ import annotations
