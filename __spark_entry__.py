@@ -34,6 +34,10 @@ FR = ["le", "la", "les", "et", "est", "une", "que", "pour"]
 ES = ["el", "la", "los", "de", "que", "es", "una", "para"]
 
 
+def _profile_sql(profile: list[str]) -> str:
+    return "len(regexp_extract_all(lower(text), '\\b(" + "|".join(profile) + ")\\b'))"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -735,6 +739,112 @@ FROM vids
 """
 
 
+def _corpus_contamination(spark, sf_dir):
+    """Train/eval decontamination: 'train' = docs < 150 plus verbatim
+    copies of the first 50 under shifted ids; 'eval' = docs in [100, 300).
+    The fingerprint-overlap join must surface exactly the leaked pairs
+    (self-pairs of the [100,150) overlap region and the planted copies)."""
+    from binlog_es_go_spark.operators.dedup import fingerprint_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 150).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), *[c for c in docs.columns if c != "doc_id"]
+        ).select(*docs.columns)
+    )
+    eval_ = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    out = fingerprint_overlap(train, eval_, "text", "doc_id", hash_fn="md5", min_shared=2)
+    return out.select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+fp AS (SELECT doc_id,
+              list_distinct(list_filter(
+                CASE WHEN len(ws) >= 8
+                  THEN list_transform(range(1, len(ws) - 6),
+                                      i -> md5(array_to_string(ws[i : i + 7], ' ')))
+                  ELSE [md5(array_to_string(ws, ' '))] END,
+                h -> (strpos('0123456789abcdef', substr(h, 32, 1)) - 1) % 4 = 0)) AS fps
+       FROM base),
+train AS (SELECT doc_id AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id + 100000 AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 50),
+ev AS (SELECT doc_id AS id_b, unnest(fps) AS f FROM fp WHERE doc_id >= 100 AND doc_id < 300)
+SELECT id_a, id_b, count(*)::BIGINT AS n_shared
+FROM train JOIN ev USING (f)
+GROUP BY id_a, id_b HAVING count(*) >= 2
+"""
+
+
+def _corpus_clean_pipeline(spark, sf_dir):
+    """The composed training-data cleaning pass: language filter ->
+    quality threshold -> exact-dedup keeping the min-id representative —
+    every stage an already-oracled operator, composed end to end."""
+    from binlog_es_go_spark.operators.dedup import dedup_exact
+    from binlog_es_go_spark.operators.text import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), *[c for c in docs.columns if c != "doc_id"]
+        ).select(*docs.columns)
+    )
+    scored = doubled.withColumn("lang_pred", lang_id("text")).withColumn(
+        "quality", F.round(quality_score("text"), 4)
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    return dedup_exact(kept, "text", "doc_id").select("doc_id", "lang_pred", "quality")
+
+
+_CLEAN_PIPELINE_ORACLE = rf"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+scored AS (
+  SELECT doc_id, text,
+         {_profile_sql(EN)} AS s_en, {_profile_sql(DE)} AS s_de,
+         {_profile_sql(FR)} AS s_fr, {_profile_sql(ES)} AS s_es
+  FROM doubled),
+lang AS (
+  SELECT doc_id, text,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM scored),
+feats AS (
+  SELECT doc_id, text, lang_pred,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '([^\w\s])')) AS n_punct,
+         {_profile_sql(EN)} AS stop_hits
+  FROM lang),
+q AS (
+  SELECT doc_id, text, lang_pred,
+         round(least(n_words::DOUBLE / 100.0, 1.0) * 0.4
+             + (CASE WHEN (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END) >= 3
+                      AND (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END) <= 10
+                     THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) <= 0.2
+                     THEN 1.0 ELSE 0.2 END) * 0.2
+             + least((CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END) * 5.0, 1.0) * 0.2,
+           4) AS quality
+  FROM feats),
+kept AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5),
+ranked AS (
+  SELECT doc_id, lang_pred, quality,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM kept)
+SELECT doc_id, lang_pred, quality FROM ranked WHERE rn = 1
+"""
+
+
 def _lang_id_counts(spark, sf_dir):
     from binlog_es_go_spark.operators.text import lang_id
 
@@ -742,10 +852,6 @@ def _lang_id_counts(spark, sf_dir):
     return docs.select(lang_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
         F.count("*").alias("n_docs")
     )
-
-
-def _profile_sql(profile: list[str]) -> str:
-    return "len(regexp_extract_all(lower(text), '\\b(" + "|".join(profile) + ")\\b'))"
 
 
 _LANG_ID_ORACLE = f"""
@@ -1314,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_aggregate": _salted_agg,
         "sessionize_events": _sessionize_events,
         "winnowing_fingerprints": _winnowing_fingerprints,
+        "corpus_contamination": _corpus_contamination,
+        "corpus_clean_pipeline": _corpus_clean_pipeline,
         "dedup_exact_groups": _dedup_exact_groups,
         "doc_fingerprints": _doc_fingerprints,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -1360,6 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_aggregate": _SALTED_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
         "winnowing_fingerprints": _WINNOWING_ORACLE,
+        "corpus_contamination": _CONTAMINATION_ORACLE,
+        "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "doc_fingerprints": _DOC_FP_ORACLE,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,

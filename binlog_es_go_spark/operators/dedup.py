@@ -327,6 +327,44 @@ def simhash_near_dups(
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
+def fingerprint_overlap(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    keep_every: int = 4,
+    min_shared: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus contamination check: pairs (a, b) sharing winnowing
+    fingerprints — the train/eval decontamination primitive.
+
+    Each side winnows its documents into a sparse w-gram signature
+    (operators.text.rolling_fingerprints); the join on fingerprint is the
+    candidate filter (docs with no common kept gram never pair), and
+    ``n_shared`` counts the common fingerprints. Shape at 100 TB: explode
+    + equi-join on the fingerprint — linear in corpus size times signature
+    density (1/keep_every), never all-pairs; boilerplate-heavy fingerprints
+    can be df-capped upstream exactly like ngram_jaccard_pairs.
+    """
+    from binlog_es_go_spark.operators.text import rolling_fingerprints
+
+    def fps(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.explode(rolling_fingerprints(text_col, window, keep_every, hash_fn)).alias("fp"),
+        )
+
+    a, b = fps(corpus_a, "a"), fps(corpus_b, "b")
+    return (
+        a.join(b, on="fp")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,

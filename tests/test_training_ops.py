@@ -242,6 +242,27 @@ def test_quality_score_ordering(spark, docs):
     assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
 
 
+def test_fingerprint_overlap_finds_contamination(spark):
+    """Decontamination primitive: a verbatim train/eval leak pairs with a
+    high shared-fingerprint count; unrelated docs never pair."""
+    from binlog_es_go_spark.operators.dedup import fingerprint_overlap
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    train = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated training text about engines " * 8)],
+        ["doc_id", "text"],
+    )
+    eval_ = spark.createDataFrame(
+        [(10, base),  # leaked verbatim
+         (11, "independent evaluation prompt of different words " * 8)],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in fingerprint_overlap(train, eval_, min_shared=1).collect()}
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)] >= 5  # verbatim copy shares the whole signature
+
+
 def test_rolling_fingerprints_overlap(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
     edited = base.replace("delta", "DELTA", 1)
