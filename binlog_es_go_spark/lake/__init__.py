@@ -24,5 +24,6 @@ an offset-guard predicate); the bucket pruning here is what Iceberg's
 
 from binlog_es_go_spark.lake.table import LakeTable
 from binlog_es_go_spark.lake.merge import merge_into
+from binlog_es_go_spark.lake.changes import replicate_changes, snapshot_changes
 
-__all__ = ["LakeTable", "merge_into"]
+__all__ = ["LakeTable", "merge_into", "snapshot_changes", "replicate_changes"]
