@@ -767,10 +767,16 @@ fp AS (SELECT doc_id,
                   ELSE [md5(array_to_string(ws, ' '))] END,
                 h -> (strpos('0123456789abcdef', substr(h, 32, 1)) - 1) % 4 = 0)) AS fps
        FROM base),
-train AS (SELECT doc_id AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 150
-          UNION ALL
-          SELECT doc_id + 100000 AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 50),
-ev AS (SELECT doc_id AS id_b, unnest(fps) AS f FROM fp WHERE doc_id >= 100 AND doc_id < 300)
+train0 AS (SELECT doc_id AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 150
+           UNION ALL
+           SELECT doc_id + 100000 AS id_a, unnest(fps) AS f FROM fp WHERE doc_id < 50),
+train AS (SELECT id_a, f FROM
+            (SELECT id_a, f, count(*) OVER (PARTITION BY f) AS df FROM train0)
+          WHERE df <= 1000),
+ev0 AS (SELECT doc_id AS id_b, unnest(fps) AS f FROM fp WHERE doc_id >= 100 AND doc_id < 300),
+ev AS (SELECT id_b, f FROM
+         (SELECT id_b, f, count(*) OVER (PARTITION BY f) AS df FROM ev0)
+       WHERE df <= 1000)
 SELECT id_a, id_b, count(*)::BIGINT AS n_shared
 FROM train JOIN ev USING (f)
 GROUP BY id_a, id_b HAVING count(*) >= 2

@@ -336,6 +336,7 @@ def fingerprint_overlap(
     keep_every: int = 4,
     min_shared: int = 1,
     hash_fn: str = "xxhash64",
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Cross-corpus contamination check: pairs (a, b) sharing winnowing
     fingerprints — the train/eval decontamination primitive.
@@ -345,16 +346,24 @@ def fingerprint_overlap(
     candidate filter (docs with no common kept gram never pair), and
     ``n_shared`` counts the common fingerprints. Shape at 100 TB: explode
     + equi-join on the fingerprint — linear in corpus size times signature
-    density (1/keep_every), never all-pairs; boilerplate-heavy fingerprints
-    can be df-capped upstream exactly like ngram_jaccard_pairs.
+    density (1/keep_every), never all-pairs. ``max_doc_freq`` drops
+    fingerprints above that document frequency PER SIDE (license headers,
+    boilerplate): a fingerprint in k_a x k_b docs emits k_a*k_b join rows,
+    so the cap bounds any fingerprint's fan-out at max_doc_freq^2 — the
+    same skew rule as ngram_jaccard_pairs' shingle cap.
     """
     from binlog_es_go_spark.operators.text import rolling_fingerprints
 
     def fps(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        out = df.select(
             F.col(id_col).alias(f"id_{tag}"),
             F.explode(rolling_fingerprints(text_col, window, keep_every, hash_fn)).alias("fp"),
         )
+        if max_doc_freq is not None:
+            out = out.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("fp"))
+            ).filter(F.col("_df") <= max_doc_freq).drop("_df")
+        return out
 
     a, b = fps(corpus_a, "a"), fps(corpus_b, "b")
     return (

@@ -266,6 +266,20 @@ def test_fingerprint_overlap_finds_contamination(spark):
     assert got[(1, 10)] >= 3
 
 
+def test_fingerprint_overlap_df_cap_kills_boilerplate(spark):
+    """A license-header fingerprint shared by every doc on both sides must
+    not cross-pair the corpora: the per-side df cap bounds the join."""
+    from binlog_es_go_spark.operators.dedup import fingerprint_overlap
+
+    header = "standard license header words repeated here every single time okay "
+    a = spark.createDataFrame([(i, header + f"unique-a-{i} " * 8) for i in range(200)], ["doc_id", "text"])
+    b = spark.createDataFrame([(i, header + f"unique-b-{i} " * 8) for i in range(200)], ["doc_id", "text"])
+    capped = fingerprint_overlap(a, b, min_shared=1, max_doc_freq=50)
+    assert capped.count() == 0
+    uncapped = fingerprint_overlap(a, b, min_shared=1, max_doc_freq=None)
+    assert uncapped.count() >= 200 * 200 * 0.9  # the blowup the cap prevents
+
+
 def test_rolling_fingerprints_overlap(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
     edited = base.replace("delta", "DELTA", 1)
