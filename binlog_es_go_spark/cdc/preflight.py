@@ -79,6 +79,21 @@ def run_preflight(
     except FileNotFoundError:
         r.add("target.exists", False, cfg.target_table_path)
 
+    # recompute-mode source of truth (mapping-query target sanity)
+    if cfg.main_table_path:
+        try:
+            src_cols = set(spark.read.parquet(cfg.main_table_path).columns)
+            key_ok = set(cfg.key_cols) <= src_cols
+            r.add("main_table.key_cols", key_ok,
+                  f"keys {cfg.key_cols} vs source cols {sorted(src_cols)[:8]}")
+            for rq in cfg.related_queries:
+                join_ok = set(rq.join_cols) <= src_cols
+                parent_ok = set(rq.parent_key_cols) <= src_cols
+                r.add(f"related[{rq.child_table}]", join_ok and parent_ok,
+                      f"join={rq.join_cols} parent={rq.parent_key_cols}")
+        except Exception as ex:  # noqa: BLE001
+            r.add("main_table.readable", False, str(ex)[:120])
+
     for e in cfg.enrichments:
         try:
             cols = set(spark.read.parquet(e.table_path).columns)

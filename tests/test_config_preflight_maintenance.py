@@ -55,6 +55,27 @@ def test_preflight_pass_and_fail(spark, tmp_path):
     rep = run_preflight(spark, cfg, changelog_dir=events_dir, checkpoint_dir=str(tmp_path / "ckpt"))
     assert rep.ok, str(rep)
 
+    # recompute-mode checks: good source passes, bad join col fails
+    from binlog_es_go_spark.config import RelatedQueryConfig
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("o/r", "a.txt", "py")], ["repo", "path", "lang"]
+    ).write.parquet(src_path)
+    cfg_rc = SyncTaskConfig(
+        name="rc", target_table_path=table_path, n_buckets=8,
+        main_table_path=src_path,
+        related_queries=[RelatedQueryConfig(child_table="langs", join_cols=["lang"], parent_key_cols=["repo", "path"])],
+    )
+    assert run_preflight(spark, cfg_rc).ok
+    cfg_rc_bad = SyncTaskConfig(
+        name="rcb", target_table_path=table_path, n_buckets=8,
+        main_table_path=src_path,
+        related_queries=[RelatedQueryConfig(child_table="langs", join_cols=["nope"], parent_key_cols=["repo", "path"])],
+    )
+    rep_bad = run_preflight(spark, cfg_rc_bad)
+    assert not rep_bad.ok and any(n.startswith("related[") and not p for n, p, _ in rep_bad.checks)
+
     # failing variants: absent target, bucket mismatch, bad enrichment col
     cfg2 = SyncTaskConfig(name="t2", target_table_path=str(tmp_path / "missing"))
     assert not run_preflight(spark, cfg2).ok
