@@ -926,6 +926,50 @@ FROM documents
 """
 
 
+def _dataset_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split by id hash — stable
+    across runs, partitionings, and engines (md5-bucket carving)."""
+    from binlog_es_go_spark.operators.text import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return docs.select("doc_id", split.alias("split"))
+
+
+_DATASET_SPLIT_ORACLE = """
+WITH b AS (SELECT doc_id,
+  (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT) % 10000 AS bkt
+  FROM documents)
+SELECT doc_id, CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary stats: top-50 lowercase tokens by document-wide
+    frequency (tie-broken by token) — the standard corpus profile pass."""
+    from binlog_es_go_spark.operators.functions import words
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+_VOCAB_ORACLE = r"""
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def _winnowing_fingerprints(spark, sf_dir):
     """Winnowing rolling fingerprints (md5 mode) — sparse w-gram signature,
     selection by last-nibble mod, exploded to (doc_id, fp) rows."""
@@ -1426,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_aggregate": _salted_agg,
         "sessionize_events": _sessionize_events,
         "winnowing_fingerprints": _winnowing_fingerprints,
+        "dataset_split": _dataset_split,
+        "vocab_top_tokens": _vocab_top_tokens,
         "corpus_contamination": _corpus_contamination,
         "corpus_clean_pipeline": _corpus_clean_pipeline,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -1474,6 +1520,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_aggregate": _SALTED_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
         "winnowing_fingerprints": _WINNOWING_ORACLE,
+        "dataset_split": _DATASET_SPLIT_ORACLE,
+        "vocab_top_tokens": _VOCAB_ORACLE,
         "corpus_contamination": _CONTAMINATION_ORACLE,
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,

@@ -96,6 +96,41 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def hash_split(
+    col: Column | str,
+    weights: dict[str, float],
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> Column:
+    """Deterministic dataset split (train/val/test) by content/id hash.
+
+    ``rand()``-based sampling is irreproducible across runs and engines;
+    hashing the ID into ``buckets`` and carving contiguous ranges by the
+    normalized weights gives a split that is (a) stable under re-runs and
+    data re-partitioning, (b) consistent for the same key across tables,
+    (c) reproducible in an ANSI oracle (md5-nibble bucket). This is the
+    standard leakage-safe splitter for training pipelines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # bucket = first 12 md5 hex chars mod buckets (48 bits: no modulo bias
+    # worth caring about at 10^4 buckets)
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 12), 16, 10)
+    b = F.pmod(h.cast("long"), F.lit(buckets))
+    total = sum(weights.values())
+    items = list(weights.items())
+    expr = None
+    upper = 0.0
+    # CASE WHEN b < u1 THEN s1 WHEN b < u2 THEN s2 ... — ascending bounds,
+    # first match wins; the last split takes the remainder (no float gap)
+    for name, w in items[:-1]:
+        upper += w / total * buckets
+        cond = b < F.lit(int(round(upper)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    if expr is None:
+        return F.lit(items[-1][0])
+    return expr.otherwise(F.lit(items[-1][0]))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Normalized md5 document fingerprint (exact-dup identity)."""
     return content_fingerprint(col)

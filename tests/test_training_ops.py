@@ -242,6 +242,21 @@ def test_quality_score_ordering(spark, docs):
     assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
 
 
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    """Split assignment is a pure function of the id (stable under
+    re-partitioning/re-runs) and tracks the requested proportions."""
+    from binlog_es_go_spark.operators.text import hash_split
+
+    split = hash_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in docs.repartition(7).select("doc_id", split.alias("s")).collect()}
+    assert a == b, "split must not depend on partitioning"
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert set(a.values()) == {"train", "val", "test"}
+
+
 def test_fingerprint_overlap_finds_contamination(spark):
     """Decontamination primitive: a verbatim train/eval leak pairs with a
     high shared-fingerprint count; unrelated docs never pair."""
