@@ -1,0 +1,103 @@
+"""The spark-submit-able CLI surface, driven as real subprocesses.
+
+One test walks the operational sequence an operator would run:
+bootstrap a table from a source dump, self-check the declared config,
+then drain the realtime tail with the full YAML-declared pipeline
+(enrichment + relatedQuery + deleteOnMissing)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+from pyspark.sql import functions as F
+
+from binlog_es_go_spark.lake.table import LakeTable
+
+CLI = ["python", "scripts/run_pipeline.py"]
+
+
+def _run(args: list[str]) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        CLI + args + ["--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+
+
+def test_cli_bootstrap_selfcheck_realtime(spark, tmp_path):
+    # ---- fixture data (built with the test session; CLI runs fresh JVMs)
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, f"cust{k}", k % 3) for k in range(1, 9) if k != 4],
+        "custkey long, name string, nationkey long",
+    ).write.parquet(src_path)
+    nation_path = str(tmp_path / "nation")
+    spark.createDataFrame(
+        [(0, "N0"), (1, "N1"), (2, "N2")], "nationkey long, n_name string"
+    ).write.parquet(nation_path)
+    target = str(tmp_path / "target")
+
+    events_dir = str(tmp_path / "events")
+    schema = (
+        "offset long, partition_id int, seq_in_tx int, op string, table string, "
+        "custkey long, nationkey long, after struct<name:string>, ts timestamp"
+    )
+    rows = [(k, 0, 0, "insert", "customer_17", k, None, (f"ev{k}",), None) for k in range(1, 6)]
+    rows.append((100, 1, 0, "update", "nation_3", -1, 1, None, None))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(events_dir)
+
+    cfg_path = tmp_path / "task.yaml"
+    cfg_path.write_text(textwrap.dedent(f"""
+        name: cli_task
+        target_table_path: {target}
+        key_cols: [custkey]
+        main_table: customer
+        main_table_path: {src_path}
+        relevant_tables: [customer, nation]
+        table_rewrite_rules:
+          - ["_[0-9]+$", ""]
+        n_buckets: 4
+        delete_on_missing: true
+        enrichments:
+          - table_path: {nation_path}
+            on: [nationkey]
+            kind: dim
+        related_queries:
+          - child_table: nation
+            join_cols: [nationkey]
+            parent_key_cols: [custkey]
+        """))
+
+    # ---- 1. bootstrap mode creates and seeds the table from the dump
+    r = _run(["--mode", "bootstrap", "--target", target, "--source", src_path,
+              "--key-cols", "custkey", "--n-buckets", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bootstrap committed" in r.stdout
+
+    # ---- 2. self-check validates the YAML-declared pipeline
+    r = _run(["--mode", "self-check", "--config", str(cfg_path), "--events", events_dir])
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    assert "preflight: PASS" in r.stdout
+
+    # ---- 3. realtime mode drains the tail through the config pipeline
+    r = _run(["--mode", "realtime", "--config", str(cfg_path),
+              "--events", events_dir, "--checkpoint", str(tmp_path / "ckpt")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tail drained" in r.stdout
+
+    t = LakeTable.load(spark, target)
+    got = {r["custkey"]: (r["name"], r["n_name"], r["last_offset"])
+           for r in t.read().select("custkey", "name", "n_name", "last_offset").collect()}
+    # custkey 4 deleted (missing upstream). The events file is ONE
+    # micro-batch, so every recomputed key (1,2,3,5 from main events plus
+    # 7 via the nation reverse lookup) lands at the batch max offset (100),
+    # enriched; bootstrap-only keys (6, 8) stay at epoch offset 0 and were
+    # seeded WITHOUT the mapper (bare bootstrap), hence unenriched.
+    assert 4 not in got
+    for k in (1, 7):
+        assert got[k] == (f"cust{k}", "N1", 100)
+    for k in (2, 3, 5):
+        assert got[k][2] == 100 and got[k][1] is not None
+    for k in (6, 8):
+        assert got[k] == (f"cust{k}", None, 0)
