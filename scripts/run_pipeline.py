@@ -78,7 +78,7 @@ def main() -> int:
     if args.mode == "bootstrap":
         from binlog_es_go_spark.cdc.bootstrap import run_full_scan
 
-        source = spark.read.parquet(args.source)
+        source = spark.read.parquet(args.source or cfg.main_table_path)
         if not LakeTable.exists(cfg.target_table_path):
             from pyspark.sql import types as T
 
@@ -86,7 +86,16 @@ def main() -> int:
             LakeTable.create(spark, cfg.target_table_path, schema, key_cols=key_cols,
                              n_buckets=cfg.n_buckets)
         table = LakeTable.load(spark, cfg.target_table_path)
-        res = run_full_scan(table, source, epoch_offset=args.epoch_offset, where=args.where)
+        # a config-declared bootstrap runs the same mapping as the tail
+        # (the reference's bootstrap executes the mapping SQL per batch,
+        # pkg/bootstrap/runner.go:369-418) — bare bootstrap stays raw
+        mapper = None
+        if args.config and (cfg.enrichments or cfg.transforms):
+            from binlog_es_go_spark.config import build_mapper
+
+            mapper = build_mapper(spark, cfg)
+        res = run_full_scan(table, source, epoch_offset=args.epoch_offset, where=args.where,
+                            mapper=mapper)
         print(f"bootstrap committed v{res.version} ({len(res.affected_buckets)} buckets, {res.wall_sec:.1f}s)")
         return 0
 

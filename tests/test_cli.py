@@ -69,9 +69,9 @@ def test_cli_bootstrap_selfcheck_realtime(spark, tmp_path):
             parent_key_cols: [custkey]
         """))
 
-    # ---- 1. bootstrap mode creates and seeds the table from the dump
-    r = _run(["--mode", "bootstrap", "--target", target, "--source", src_path,
-              "--key-cols", "custkey", "--n-buckets", "4"])
+    # ---- 1. config-declared bootstrap seeds the table ENRICHED (the
+    # reference's bootstrap runs the mapping SQL; ours runs the mapper)
+    r = _run(["--mode", "bootstrap", "--config", str(cfg_path), "--source", src_path])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "bootstrap committed" in r.stdout
 
@@ -91,13 +91,13 @@ def test_cli_bootstrap_selfcheck_realtime(spark, tmp_path):
            for r in t.read().select("custkey", "name", "n_name", "last_offset").collect()}
     # custkey 4 deleted (missing upstream). The events file is ONE
     # micro-batch, so every recomputed key (1,2,3,5 from main events plus
-    # 7 via the nation reverse lookup) lands at the batch max offset (100),
-    # enriched; bootstrap-only keys (6, 8) stay at epoch offset 0 and were
-    # seeded WITHOUT the mapper (bare bootstrap), hence unenriched.
+    # 7 via the nation reverse lookup) lands at the batch max offset (100);
+    # bootstrap-only keys (6, 8) stay at epoch offset 0 — and are ALSO
+    # enriched, because a config-declared bootstrap runs the mapper.
     assert 4 not in got
     for k in (1, 7):
         assert got[k] == (f"cust{k}", "N1", 100)
     for k in (2, 3, 5):
         assert got[k][2] == 100 and got[k][1] is not None
-    for k in (6, 8):
-        assert got[k] == (f"cust{k}", None, 0)
+    assert got[6] == ("cust6", "N0", 0)
+    assert got[8] == ("cust8", "N2", 0)
