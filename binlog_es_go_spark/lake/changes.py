@@ -46,6 +46,13 @@ def snapshot_changes(
       invisible -> visible : insert
       visible   -> visible with a higher (offset, seq) : update
       visible   -> invisible : delete (offset from the tombstone)
+
+    Caveat: a delete is only observable while its tombstone survives —
+    diff across a compaction that GC'd tombstones (``compact(...,
+    drop_tombstones_below=...)``) silently misses those deletes. Consumers
+    must diff from a version at or after their last consumed one before
+    tombstones age past the GC watermark (the same contract as Iceberg
+    changelog reads vs expire_snapshots).
     """
     to_version = table.current_version() if to_version is None else to_version
     snap = table.snapshot(to_version)
