@@ -1024,7 +1024,7 @@ sess AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered)
-SELECT user_id, session_id,
+SELECT user_id, session_id::BIGINT AS session_id,
        epoch_us(min(ts))::BIGINT AS start_epoch_us, epoch_us(max(ts))::BIGINT AS end_epoch_us,
        count(*)::BIGINT AS n_events,
        round(sum(value::DECIMAL(30,10)), 2)::DOUBLE AS total_value

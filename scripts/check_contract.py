@@ -22,6 +22,81 @@ sys.path.insert(0, "/root/repo")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_duck(t: str) -> str:
+    """Canonical type family for a DuckDB result column (str(rel.types[i])).
+
+    The driver's hash is type-sensitive: DuckDB ``sum(int) OVER`` returns
+    HUGEINT (int128) which hashes differently from Spark's BIGINT even when
+    every value is byte-identical — that bug shipped twice because this
+    script used to stringify cells.  HUGEINT maps to its own family (it is
+    NOT int64-representable without an explicit cast); the int64-safe
+    integer widths collapse together.
+    """
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "arr<" + canon_duck(t[:-2]) + ">"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "i64"
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "i128"
+    if t == "DOUBLE":
+        return "f64"
+    if t in ("FLOAT", "REAL"):
+        return "f32"
+    if t.startswith("DECIMAL"):
+        scale = t.split(",", 1)[1].rstrip(")").strip() if "," in t else "0"
+        return f"dec.{scale}"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bin"
+    return t.lower()
+
+
+def canon_spark(t: str) -> str:
+    """Canonical type family for a Spark column (dataType.simpleString())."""
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return "arr<" + canon_spark(t[6:-1]) + ">"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i64"
+    if t == "double":
+        return "f64"
+    if t == "float":
+        return "f32"
+    if t.startswith("decimal"):
+        scale = t.split(",", 1)[1].rstrip(")").strip() if "," in t else "0"
+        return f"dec.{scale}"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "binary":
+        return "bin"
+    return t
+
+
+def type_mismatches(scols, stypes, ocols, otypes) -> list[str]:
+    """Column-name-matched canonical type comparison; returns mismatch strings."""
+    smap = {c.lower(): canon_spark(t) for c, t in zip(scols, stypes)}
+    omap = {c.lower(): canon_duck(t) for c, t in zip(ocols, otypes)}
+    out = []
+    for name in sorted(set(smap) & set(omap)):
+        if smap[name] != omap[name]:
+            out.append(f"{name}: spark={smap[name]} oracle={omap[name]}")
+    return out
+
+
 def norm_cell(v) -> str:
     if v is None:
         return "<null>"
@@ -65,6 +140,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
@@ -78,6 +154,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
@@ -86,10 +163,13 @@ def main() -> int:
         sn, sh = table_hash(srows, scols)
         on, oh = table_hash(orows, ocols)
         cols_match = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
-        status = "ok  " if (sn == on and sh == oh and cols_match) else "FAIL"
-        print(f"{status} {name}: spark {sn} rows [{sh}] vs oracle {on} rows [{oh}] cols_match={cols_match}  ({time.time()-t0:.1f}s)")
+        tmism = type_mismatches(scols, stypes, ocols, otypes)
+        status = "ok  " if (sn == on and sh == oh and cols_match and not tmism) else "FAIL"
+        print(f"{status} {name}: spark {sn} rows [{sh}] vs oracle {on} rows [{oh}] cols_match={cols_match} types_match={not tmism}  ({time.time()-t0:.1f}s)")
         if status == "FAIL":
             failures.append(name)
+            for m in tmism:
+                print(f"     TYPE {m}")
             if not cols_match:
                 print(f"     spark cols: {sorted(scols)}\n     oracle cols: {sorted(ocols)}")
             elif sn == on:
