@@ -1114,15 +1114,19 @@ def _config_recompute_pipeline(spark, sf_dir):
     return table.read().select("c_custkey", "c_name", "c_nationkey", "nation_name", "last_offset", "last_op")
 
 
+# Recompute events ride each key's own TRIGGER offset (the max offset of
+# the events that put the key in the batch), not a cross-partition batch
+# max — batch 0 triggers key K at offset K (its own insert event); batch 1
+# triggers every parent of a region-0 nation at the child event's offset
+# 10000 + nationkey, which beats the batch-0 stamp per key.
 _CONFIG_PIPELINE_ORACLE = """
-WITH b0 AS (SELECT max(c_custkey)::BIGINT AS mx FROM customer WHERE c_custkey < 1000),
-b1 AS (SELECT (10000 + max(n_nationkey))::BIGINT AS mx FROM nation WHERE n_regionkey = 0),
-region0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+WITH region0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
 src AS (SELECT c_custkey::BIGINT AS c_custkey, c_name, c_nationkey::BIGINT AS c_nationkey
         FROM customer WHERE c_custkey % 10 <> 0)
 SELECT s.c_custkey, s.c_name, s.c_nationkey, n.n_name AS nation_name,
-       CASE WHEN s.c_nationkey IN (SELECT n_nationkey FROM region0) THEN (SELECT mx FROM b1)
-            ELSE (SELECT mx FROM b0) END AS last_offset,
+       CASE WHEN s.c_nationkey IN (SELECT n_nationkey FROM region0)
+            THEN (10000 + s.c_nationkey)::BIGINT
+            ELSE s.c_custkey END AS last_offset,
        'update' AS last_op
 FROM src s JOIN nation n ON n.n_nationkey = s.c_nationkey
 WHERE s.c_custkey < 1000 OR s.c_nationkey IN (SELECT n_nationkey FROM region0)

@@ -15,14 +15,25 @@ whose recompute comes back empty are deleted when ``deleteOnMissing``
 Everything funnels into ONE synthetic changelog per micro-batch and the
 standard ``apply_batch`` MERGE, so idempotence / offset guarding / salting
 are inherited, and a crash-rerun of the batch is a no-op. Synthetic
-recompute events carry the batch's max offset on a reserved partition_id
-(-1) with a high seq, so:
+recompute events ride a reserved partition_id (-1) and carry, PER KEY, the
+max offset of the events that triggered that key's recompute (main events:
+the key's own offsets; child events: the child row's offset, threaded
+through the reverse lookup), with a high seq, so:
 
 * re-running the batch recomputes the same keys at the same (offset, seq)
   — the tuple guard makes it a no-op;
 * a recompute wins over a same-offset raw event (source-of-truth state is
   newer than any image inside the batch);
-* real stream partitions' offset bookkeeping is untouched.
+* real stream partitions' offset bookkeeping is untouched;
+* recompute-vs-recompute ordering is correct across micro-batches even
+  when the source has MULTIPLE stream partitions: offsets from different
+  partitions are not mutually ordered, so a cross-partition batch max
+  would let a later batch dominated by a low-offset partition stamp
+  recomputes BELOW a prior recompute and silently lose the newer
+  source-of-truth state to the LWW guard. Per-key trigger offsets are
+  monotonic as long as the upstream partitions its stream by key (the
+  Kafka/binlog contract); a key that migrates between partitions remains
+  the caller's problem, as it is for any per-partition-offset consumer.
 """
 
 from __future__ import annotations
@@ -40,17 +51,17 @@ from binlog_es_go_spark.config import SyncTaskConfig, build_mapper
 from binlog_es_go_spark.lake.merge import MergeResult
 from binlog_es_go_spark.lake.table import LakeTable
 from binlog_es_go_spark.operators.enrichment import (
-    affected_parent_keys,
-    delete_on_missing_keys,
+    affected_parent_keys_with_offset,
     rewrite_table_name,
 )
 
 # Synthetic recompute events ride a reserved stream partition so they never
 # perturb a real partition's applied-offset bookkeeping.
 RECOMPUTE_PARTITION = -1
-# seq ladder within one offset: recompute beats a direct delete beats any
-# raw event seq — source-of-truth state is the newest fact in the batch.
-SEQ_DIRECT_DELETE = 1 << 30
+# Within one offset, a recompute's seq beats any raw event's seq_in_tx —
+# source-of-truth state is newer than any image inside the batch. Direct
+# deletes (deleteOnDelete) are NOT on this ladder: they keep their real
+# (offset, partition, seq_in_tx) so they order like any other raw event.
 SEQ_RECOMPUTE = (1 << 30) + 1
 
 
@@ -62,7 +73,7 @@ def _logical_table(batch: DataFrame, cfg: SyncTaskConfig) -> DataFrame:
 
 
 def _payload_struct(src: DataFrame, key_cols: list[str]):
-    payload = [c for c in src.columns if c not in key_cols]
+    payload = [c for c in src.columns if c not in key_cols and not c.startswith("_")]
     return F.struct(*[F.col(c) for c in payload])
 
 
@@ -103,37 +114,42 @@ def process_config_batch(
     main_src = spark.read.parquet(cfg.main_table_path)
 
     # ---- key extraction --------------------------------------------------
-    # main-table inserts/updates -> their own key
-    recompute_keys = main.filter(F.col("op") != "delete").select(*key_cols)
-    # child-table events -> affected parents via the relatedQuery lookup
+    # Every affected key carries ``_trig_off`` = the max offset of the
+    # events that put it in this batch. Synthetic recompute events ride
+    # that per-key offset (NOT a cross-partition batch max, which is not
+    # mutually ordered across stream partitions — see module docstring),
+    # so no extra driver job is needed to pin an offset either.
+    # main-table inserts/updates -> their own key at their own offsets
+    keyed = main.filter(F.col("op") != "delete").select(*key_cols, F.col("offset").alias("_trig_off"))
+    # child-table events -> affected parents via the relatedQuery lookup,
+    # the child event's offset threaded through as the trigger position
     for rq in cfg.related_queries:
         child = flat.filter(F.col("table") == rq.child_table) if has_table else flat.limit(0)
-        affected = affected_parent_keys(
+        affected = affected_parent_keys_with_offset(
             child, main_src, rq.join_cols, rq.parent_key_cols, rq.direct_fk_cols
-        ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)])
-        recompute_keys = recompute_keys.unionByName(affected)
-    recompute_keys = recompute_keys.distinct()
+        ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)], "_trig_off")
+        keyed = keyed.unionByName(affected)
+    recompute_keys = keyed.groupBy(*key_cols).agg(F.max("_trig_off").alias("_trig_off"))
+
+    if flat.isEmpty():
+        return MergeResult(version=table.snapshot().version, affected_buckets=[])
 
     # ---- batch recompute (the mapping query, flush.go:39) ----------------
     # the key side is small (one micro-batch's distinct keys), so Catalyst
     # broadcasts it: main_src is SCANNED, never shuffled (plan-asserted in
     # tests/test_physical_plans.py)
-    found = main_src.join(recompute_keys, on=key_cols, how="left_semi")
-
-    # One tiny column-pruned job pins the batch's max offset for the
-    # synthetic events (serial cost per micro-batch, like the metadata scan).
-    mx_row = flat.agg(F.max("offset").alias("mx")).first()
-    mx = mx_row["mx"]
-    if mx is None:
-        return MergeResult(version=table.snapshot().version, affected_buckets=[])
+    found = main_src.join(F.broadcast(recompute_keys), on=key_cols, how="inner")
 
     def synth(df: DataFrame, op: str, seq: int, keep_positions: bool) -> DataFrame:
         payload = _payload_struct(found, key_cols)
         after = payload if op != "delete" else F.lit(None).cast(
-            T.StructType([f for f in found.schema.fields if f.name not in key_cols])
+            T.StructType([
+                f for f in found.schema.fields
+                if f.name not in key_cols and not f.name.startswith("_")
+            ])
         )
         return df.select(
-            (F.col("offset") if keep_positions else F.lit(int(mx)).cast("long")).alias("offset"),
+            (F.col("offset") if keep_positions else F.col("_trig_off").cast("long")).alias("offset"),
             (F.col("partition_id") if keep_positions else F.lit(RECOMPUTE_PARTITION).cast("int")).alias("partition_id"),
             (F.col("seq_in_tx") if keep_positions else F.lit(seq).cast("int")).alias("seq_in_tx"),
             F.lit(op).alias("op"),
@@ -147,9 +163,10 @@ def process_config_batch(
     if cfg.delete_on_delete:
         deletes = main.filter(F.col("op") == "delete")
         parts.append(synth(deletes, "delete", 0, keep_positions=True))
-    # recomputed keys with no source row -> deleteOnMissing
+    # recomputed keys with no source row -> deleteOnMissing, stamped at
+    # the missing key's own trigger offset
     if cfg.delete_on_missing:
-        missing = delete_on_missing_keys(recompute_keys, found, key_cols)
+        missing = recompute_keys.join(found.select(*key_cols), on=key_cols, how="left_anti")
         parts.append(synth(missing, "delete", SEQ_RECOMPUTE, keep_positions=False))
 
     synthetic = parts[0]

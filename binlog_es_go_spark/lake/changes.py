@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 
 from binlog_es_go_spark.lake.table import DELETED_COL, LakeTable
 
+# Reserved stream partition for replicated changelogs, alongside
+# RECOMPUTE_PARTITION (-1, cdc/pipeline.py) and EPOCH_PARTITION (-2,
+# cdc/bootstrap.py). Replication must NOT ride a real partition id: the
+# target records the replicated max offset per partition in its
+# stream_offsets property, and if the target also tails a real changelog,
+# filter_unapplied would wrongly skip genuine events of that partition at
+# or below the replicated offset.
+REPLICATION_PARTITION = -3
+
+# Manifest property set by compact(drop_tombstones_below=...): the first
+# snapshot version whose tombstones below the offset watermark are gone.
+GC_VERSION_PROP = "tombstone_gc_version"
+GC_OFFSET_PROP = "tombstone_gc_offset"
+
+
+class TombstoneRetentionError(ValueError):
+    """A snapshot diff spans a compaction that GC'd tombstones, so deletes
+    in the requested range may be unobservable (the Iceberg analog:
+    changelog reads across expire_snapshots)."""
+
 
 def changed_buckets(table: LakeTable, from_version: int, to_version: int) -> list[int]:
     """Buckets whose file lists differ between the two manifests."""
@@ -33,7 +53,10 @@ def changed_buckets(table: LakeTable, from_version: int, to_version: int) -> lis
 
 
 def snapshot_changes(
-    table: LakeTable, from_version: int, to_version: int | None = None
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    allow_missing_deletes: bool = False,
 ) -> DataFrame:
     """Row-level diff ``from_version -> to_version`` as a changelog.
 
@@ -47,15 +70,25 @@ def snapshot_changes(
       visible   -> visible with a higher (offset, seq) : update
       visible   -> invisible : delete (offset from the tombstone)
 
-    Caveat: a delete is only observable while its tombstone survives —
-    diff across a compaction that GC'd tombstones (``compact(...,
-    drop_tombstones_below=...)``) silently misses those deletes. Consumers
-    must diff from a version at or after their last consumed one before
-    tombstones age past the GC watermark (the same contract as Iceberg
-    changelog reads vs expire_snapshots).
+    Retention contract (ENFORCED): a delete is only observable while its
+    tombstone survives. ``compact(..., drop_tombstones_below=...)`` records
+    the compacted version in manifest properties (``tombstone_gc_version``);
+    a diff whose ``from_version`` predates that version spans the GC and
+    may have lost deletes, so it raises :class:`TombstoneRetentionError`
+    unless ``allow_missing_deletes=True`` (the same contract as Iceberg
+    changelog reads vs expire_snapshots — consumers must keep up with the
+    GC watermark or opt into insert/update-only semantics).
     """
     to_version = table.current_version() if to_version is None else to_version
     snap = table.snapshot(to_version)
+    gc_version = int(snap.properties.get(GC_VERSION_PROP, -1))
+    if from_version < gc_version and not allow_missing_deletes:
+        raise TombstoneRetentionError(
+            f"diff from v{from_version} spans the tombstone GC at v{gc_version} "
+            f"(offsets below {snap.properties.get(GC_OFFSET_PROP)}): deletes in "
+            f"range may be unobservable. Diff from >= v{gc_version}, or pass "
+            f"allow_missing_deletes=True for insert/update-only semantics."
+        )
     key_cols = snap.key_cols
     buckets = changed_buckets(table, from_version, to_version)
     if not buckets:
@@ -67,20 +100,25 @@ def snapshot_changes(
         and f.name not in ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
     ]
 
-    def side(version: int, tag: str) -> DataFrame:
+    def side(version: int, tag: str, with_payload: bool) -> DataFrame:
         df = table.read(buckets=buckets, include_deleted=True, version=version)
         vis = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        return df.select(
+        cols = [
             *key_cols,
             vis.alias(f"{tag}_vis"),
             F.coalesce(F.col("last_offset"), F.lit(-1)).alias(f"{tag}_off"),
             F.coalesce(F.col("last_seq"), F.lit(0)).alias(f"{tag}_seq"),
-            *[F.col(c).alias(f"{tag}_{c}") for c in payload_cols],
-            F.col("updated_at").alias(f"{tag}_ts"),
-        )
+        ]
+        if with_payload:
+            cols.extend(F.col(c).alias(f"{tag}_{c}") for c in payload_cols)
+            cols.append(F.col("updated_at").alias(f"{tag}_ts"))
+        return df.select(*cols)
 
-    old = side(from_version, "o")
-    new = side(to_version, "n")
+    # The old side needs only key + visibility + guard columns: its payload
+    # values never reach the output, and (schema evolution) columns added
+    # after from_version don't exist in the old snapshot's schema at all.
+    old = side(from_version, "o", with_payload=False)
+    new = side(to_version, "n", with_payload=True)
     j = old.join(new, on=key_cols, how="full_outer")
 
     o_vis = F.coalesce(F.col("o_vis"), F.lit(False))
@@ -101,7 +139,7 @@ def snapshot_changes(
         *[F.col(f"n_{c}").alias(c) for c in payload_cols],
         F.col("n_off").cast("long").alias("offset"),
         F.col("n_seq").cast("int").alias("seq_in_tx"),
-        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(REPLICATION_PARTITION).cast("int").alias("partition_id"),
         F.col("n_ts").cast("timestamp").alias("ts"),
     )
 
@@ -121,7 +159,7 @@ def _empty_changelog(table: LakeTable, version: int) -> DataFrame:
         *payload_cols,
         F.lit(0).cast("long").alias("offset"),
         F.lit(0).cast("int").alias("seq_in_tx"),
-        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(REPLICATION_PARTITION).cast("int").alias("partition_id"),
         F.lit(None).cast("timestamp").alias("ts"),
     ).limit(0)
 
@@ -132,13 +170,19 @@ def replicate_changes(
     from_version: int,
     to_version: int | None = None,
     batch_id: int | None = None,
+    allow_missing_deletes: bool = False,
 ):
     """Lake-to-lake incremental replication: feed the snapshot diff through
     the standard apply core (the target gets the same exactly-once
-    (offset, seq) guard, so overlapping/replayed ranges are no-ops)."""
+    (offset, seq) guard, so overlapping/replayed ranges are no-ops).
+    Replicated events ride the reserved REPLICATION_PARTITION (-3) so the
+    target's per-partition offset bookkeeping never collides with a real
+    changelog's partitions."""
     from binlog_es_go_spark.cdc.apply import apply_batch
 
-    changes = snapshot_changes(source, from_version, to_version)
+    changes = snapshot_changes(
+        source, from_version, to_version, allow_missing_deletes=allow_missing_deletes
+    )
     # apply_batch flattens 'after'; our diff is already flat — wrap payload
     key_cols = source.snapshot().key_cols
     payload_cols = [

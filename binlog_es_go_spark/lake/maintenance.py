@@ -26,13 +26,26 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
     passed it (a replayed stale insert for that key can no longer arrive,
     because the coarse offset filter + checkpoint drop it first). Callers
     should pass ``min(applied_offsets().values())``.
+
+    When tombstones are dropped, the compacted version is recorded in
+    manifest properties (``tombstone_gc_version``/``tombstone_gc_offset``)
+    and ``snapshot_changes`` REFUSES diffs whose ``from_version`` predates
+    it — an incremental consumer behind the GC can no longer silently miss
+    deletes (lake/changes.py enforces the contract this docstring used to
+    only state).
     """
     snap = table.snapshot()
     df = table.read(include_deleted=True)
+    props: dict = {"last_compaction_version": snap.version}
     if drop_tombstones_below is not None:
         df = df.filter(
             ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("last_offset") < drop_tombstones_below))
         )
+        from binlog_es_go_spark.lake.changes import GC_OFFSET_PROP, GC_VERSION_PROP
+
+        prev_off = int(snap.properties.get(GC_OFFSET_PROP, -1))
+        props[GC_VERSION_PROP] = snap.version + 1
+        props[GC_OFFSET_PROP] = max(prev_off, int(drop_tombstones_below))
     df = table.with_bucket(df)
     n_parts = max(snap.n_buckets * target_files_per_bucket, 1)
     out = df.repartition(n_parts, F.col("_bucket"))
@@ -40,7 +53,7 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
         out,
         replaced_buckets=list(range(snap.n_buckets)),
         expected_version=snap.version,
-        properties_update={"last_compaction_version": snap.version},
+        properties_update=props,
     )
     return new_snap.version
 

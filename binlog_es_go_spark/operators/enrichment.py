@@ -114,6 +114,49 @@ def affected_parent_keys(
     return out.distinct()
 
 
+def affected_parent_keys_with_offset(
+    child_changes: DataFrame,
+    parent: DataFrame,
+    join_cols: list[str],
+    parent_key_cols: list[str],
+    direct_fk_cols: list[str] | None = None,
+    offset_col: str = "offset",
+) -> DataFrame:
+    """relatedQuery carrying provenance: each affected parent key comes
+    back with ``_trig_off`` = the max offset of the child events that
+    triggered it.
+
+    Recompute events must ride the TRIGGERING event's own position, not a
+    cross-partition batch max: offsets from different stream partitions
+    are not mutually ordered, so a later batch dominated by a low-offset
+    partition would stamp recomputes below a prior recompute and the newer
+    source-of-truth state would lose the LWW guard. Per-key offsets are
+    monotonic whenever the upstream partitions by key (the Kafka/binlog
+    contract), which the batch max is not.
+
+    Shape: the child side is aggregated to (join_cols, max offset) FIRST —
+    a micro-batch's worth of rows — so the parent join probe stays tiny
+    and Catalyst broadcasts it; the parent table is scanned, never
+    shuffled (same plan as :func:`affected_parent_keys`).
+    """
+    if direct_fk_cols:
+        has_all_fks = F.lit(True)
+        for c in direct_fk_cols:
+            has_all_fks = has_all_fks & F.col(c).isNotNull()
+        direct = child_changes.filter(has_all_fks).select(
+            *[F.col(c).alias(k) for c, k in zip(direct_fk_cols, parent_key_cols)],
+            F.col(offset_col).alias("_trig_off"),
+        )
+        missing = child_changes.filter(~has_all_fks)
+    else:
+        direct = None
+        missing = child_changes
+    probe = missing.groupBy(*join_cols).agg(F.max(offset_col).alias("_trig_off"))
+    looked_up = parent.join(probe, on=join_cols, how="inner").select(*parent_key_cols, "_trig_off")
+    out = looked_up if direct is None else direct.unionByName(looked_up)
+    return out.groupBy(*parent_key_cols).agg(F.max("_trig_off").alias("_trig_off"))
+
+
 def delete_on_missing_keys(batch_keys: DataFrame, recomputed: DataFrame, key_cols: list[str]) -> DataFrame:
     """deleteOnMissing (flush.go:119-140): keys whose recompute returned no
     rows must be deleted from the target — a left-anti join."""

@@ -89,15 +89,17 @@ def test_cli_bootstrap_selfcheck_realtime(spark, tmp_path):
     t = LakeTable.load(spark, target)
     got = {r["custkey"]: (r["name"], r["n_name"], r["last_offset"])
            for r in t.read().select("custkey", "name", "n_name", "last_offset").collect()}
-    # custkey 4 deleted (missing upstream). The events file is ONE
-    # micro-batch, so every recomputed key (1,2,3,5 from main events plus
-    # 7 via the nation reverse lookup) lands at the batch max offset (100);
-    # bootstrap-only keys (6, 8) stay at epoch offset 0 — and are ALSO
-    # enriched, because a config-declared bootstrap runs the mapper.
+    # custkey 4 deleted (missing upstream). Each recomputed key is stamped
+    # at ITS OWN trigger offset: keys 1 and 7 at the nation child event's
+    # offset 100 (the reverse lookup threads the triggering offset through,
+    # and 100 beats key 1's own insert at offset 1); keys 2, 3, 5 at their
+    # own insert offsets; bootstrap-only keys (6, 8) stay at epoch offset 0
+    # — and are ALSO enriched, because a config-declared bootstrap runs the
+    # mapper.
     assert 4 not in got
     for k in (1, 7):
         assert got[k] == (f"cust{k}", "N1", 100)
     for k in (2, 3, 5):
-        assert got[k][2] == 100 and got[k][1] is not None
+        assert got[k][2] == k and got[k][1] is not None
     assert got[6] == ("cust6", "N0", 0)
     assert got[8] == ("cust8", "N2", 0)

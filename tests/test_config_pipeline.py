@@ -106,8 +106,10 @@ def test_recompute_child_change_and_delete_on_missing(spark, tmp_path):
     s0 = _state(table)
     # recompute reads the SOURCE, not the event image ("stale..." never lands)
     assert set(s0) == {1, 2, 3, 5}, "custkey 4 must be deleteOnMissing'd"
-    assert s0[1] == ("cust1", "N1", 5, "update")  # batch max offset = 5, enriched
-    assert s0[3] == ("cust3", "N0", 5, "update")
+    # each key is stamped at ITS OWN trigger offset (batch0: offset==custkey),
+    # not the cross-partition batch max
+    assert s0[1] == ("cust1", "N1", 1, "update")
+    assert s0[3] == ("cust3", "N0", 3, "update")
 
     process_config_batch(spark, cfg, table, _batch1(spark), batch_id=1)
     s1 = _state(table)
@@ -115,11 +117,49 @@ def test_recompute_child_change_and_delete_on_missing(spark, tmp_path):
     # offset, 7 synced in (never inserted before), others untouched
     assert set(s1) == {1, 2, 3, 5, 7}
     assert s1[1][2] == 100 and s1[7] == ("cust7", "N1", 100, "update")
-    assert s1[2][2] == 5 and s1[5][2] == 5
+    assert s1[2][2] == 2 and s1[5][2] == 5
 
     # crash-rerun of the batch is a no-op (same synthetic (offset, seq))
     process_config_batch(spark, cfg, table, _batch1(spark), batch_id=1)
     assert _state(table) == s1
+
+
+def test_recompute_offsets_are_per_key_not_batch_max(spark, tmp_path):
+    """Multi-partition ordering (ADVICE r2): a batch containing an
+    unrelated high-offset event on another partition must NOT inflate the
+    recompute stamp of other keys — otherwise the NEXT batch's genuine
+    update for those keys (at a lower offset on its own partition) loses
+    the LWW guard and the newer source-of-truth state is silently dropped.
+    """
+    src_path, _, table, cfg = _setup(spark, tmp_path)
+    # batch 0: key 1 changes at (p0, offset 10); key 5 changes at (p1, offset 9000)
+    b0 = spark.createDataFrame(
+        [
+            (10, 0, 0, "insert", "customer_1", 1, None, (None, None), None),
+            (9000, 1, 0, "insert", "customer_1", 5, None, (None, None), None),
+        ],
+        EVENT_SCHEMA,
+    )
+    process_config_batch(spark, cfg, table, b0, batch_id=0)
+    s0 = _state(table)
+    assert s0[1][2] == 10, "key 1 must be stamped at its own offset, not the batch max 9000"
+    assert s0[5][2] == 9000
+
+    # upstream source of truth changes for key 1, then its next event
+    # arrives at (p0, offset 11) — far below the other partition's 9000
+    spark.createDataFrame(
+        [(k, "cust1-renamed" if k == 1 else f"cust{k}", k % 3) for k in range(1, 9) if k != 4],
+        "custkey long, name string, nationkey long",
+    ).write.mode("overwrite").parquet(src_path)
+    b1 = spark.createDataFrame(
+        [(11, 0, 0, "update", "customer_1", 1, None, (None, None), None)], EVENT_SCHEMA
+    )
+    process_config_batch(spark, cfg, table, b1, batch_id=1)
+    s1 = _state(table)
+    # with a batch-max stamp this recompute would have lost to offset 9000;
+    # per-key trigger offsets make 11 > 10 win for key 1
+    assert s1[1] == ("cust1-renamed", "N1", 11, "update"), f"newer recompute must land: {s1[1]}"
+    assert s1[5][2] == 9000, "the other partition's key is untouched"
 
 
 def test_recompute_main_delete_event_deletes_directly(spark, tmp_path):

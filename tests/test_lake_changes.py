@@ -76,3 +76,50 @@ def test_replicate_changes_lake_to_lake(spark, tmp_path):
     # and the replica equals the sequential oracle end to end
     oracle = apply_sequential(log.toPandas())
     assert d_dst == table_digest(oracle[["repo", "path", "content"]])
+
+def test_tombstone_gc_retention_contract(spark, tmp_path):
+    """compact(drop_tombstones_below=...) records the GC watermark in
+    manifest properties; a diff whose from_version predates the GC raises
+    (deletes may be unobservable), a diff within retention still sees the
+    delete, and allow_missing_deletes opts back into the lossy read."""
+    import pytest
+
+    from binlog_es_go_spark.cdc.apply import applied_offsets
+    from binlog_es_go_spark.lake.changes import TombstoneRetentionError
+    from binlog_es_go_spark.lake.maintenance import compact
+
+    log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
+    log.cache().count()
+    t = _source_table(spark, tmp_path, log)                      # v1, v2
+    assert log.filter(F.col("op") == "delete").count() > 0
+
+    # diff within retention (pre-GC) observes deletes
+    pre = snapshot_changes(t, 1, 2)
+    n_deletes_pre = pre.filter(F.col("op") == "delete").count()
+
+    watermark = min(applied_offsets(t).values())
+    gc_v = compact(t, drop_tombstones_below=watermark + 1)        # -> v3
+    assert t.snapshot().properties["tombstone_gc_version"] == gc_v
+
+    # a diff spanning the GC refuses to pretend it saw the deletes
+    with pytest.raises(TombstoneRetentionError):
+        snapshot_changes(t, 1, gc_v)
+    with pytest.raises(TombstoneRetentionError):
+        replicate_changes(
+            t,
+            LakeTable.create(spark, str(tmp_path / "d2"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8),
+            1,
+            gc_v,
+        )
+    # opting in yields insert/update-only semantics without raising
+    lossy = snapshot_changes(t, 1, gc_v, allow_missing_deletes=True)
+    assert lossy.filter(F.col("op") == "delete").count() <= n_deletes_pre
+
+    # diffs at or after the GC version are unaffected
+    apply_batch(
+        t,
+        log.filter(F.col("offset") >= 1000).limit(0),
+        batch_id=9,
+        prune_buckets=False,
+    )  # -> v4 (empty commit just to advance the version)
+    assert snapshot_changes(t, gc_v, t.current_version()).count() == 0
