@@ -20,6 +20,7 @@ BY on both sides.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -1265,27 +1266,137 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+# Fixed path where _cdc_replay_lake persists its generated changelog so the
+# DuckDB oracle can independently recompute the expected LWW state from the
+# SAME input (the generator is xxhash64-based and not reproducible in SQL,
+# but the persisted log is engine-neutral parquet). The Spark query writes
+# it (overwrite) before replaying; the oracle reads it back.
+_REPLAY_LAKE_LOG = os.path.join(
+    tempfile.gettempdir(), "binlog_es_spark_contract", "cdc_replay_lake_changelog"
+)
+
+
 def _cdc_replay_lake(spark, sf_dir):
-    """Full engine path: generated changelog -> micro-batched offset-guarded
-    MERGE into a lake table -> final state with content sha256. The lake
-    replay is stateful/procedural, hence rows-only (pytest covers oracle
-    convergence)."""
+    """Full engine path under the driver's hash gate: generated changelog
+    (tombstones, seq_in_tx ladders, 40-repo skew, 10% duplicate delivery)
+    -> persisted to parquet -> micro-batched offset-guarded MERGE into a
+    lake table. DuckDB recomputes the expected LWW final state from the
+    persisted log with a window function — tombstone survival and the
+    (offset, seq) ordering are independently re-derived, not trusted."""
     from pyspark.sql import types as T
 
     from binlog_es_go_spark.cdc.apply import apply_batch
     from binlog_es_go_spark.cdc.events import generate_changelog
     from binlog_es_go_spark.lake.table import LakeTable
-    from binlog_es_go_spark.operators.functions import sha256_hex
 
     payload = T.StructType([T.StructField(n, T.StringType()) for n in ["repo", "path", "commit", "lang", "content"]])
     root = tempfile.mkdtemp(prefix="cdc_replay_lake_")
     table = LakeTable.create(spark, root + "/t", payload, key_cols=["repo", "path"], n_buckets=16)
-    log = generate_changelog(spark, 2000, n_repos=40, paths_per_repo=20, seed=42)
-    for i in range(2):
-        apply_batch(table, log.filter((F.col("offset") >= i * 1000) & (F.col("offset") < (i + 1) * 1000)), batch_id=i)
-    return table.read().select(
-        "repo", "path", sha256_hex("content").alias("content_sha256"), "last_offset"
+    log = generate_changelog(
+        spark, 2000, n_repos=40, paths_per_repo=20, seed=42, duplicate_ratio=0.1
     )
+    flat = log.select(
+        "offset", "partition_id", "seq_in_tx", "op", "repo", "path",
+        F.col("after.commit").alias("commit"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.content").alias("content"),
+    )
+    flat.write.mode("overwrite").parquet(_REPLAY_LAKE_LOG)
+    # replay FROM the persisted log so the oracle sees the exact input
+    persisted = spark.read.parquet(_REPLAY_LAKE_LOG)
+    after_t = T.StructType([T.StructField(n, T.StringType()) for n in ["commit", "lang", "content"]])
+    replog = persisted.select(
+        "offset", "partition_id", "seq_in_tx", "op", "repo", "path",
+        F.when(F.col("op") != "delete", F.struct("commit", "lang", "content"))
+        .cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    for i, (lo, hi) in enumerate([(0, 701), (701, 1399), (1399, 2000)]):
+        apply_batch(table, replog.filter((F.col("offset") >= lo) & (F.col("offset") < hi)), batch_id=i)
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("last_offset").cast("long").alias("last_offset"),
+        F.col("last_op").alias("last_op"),
+    )
+
+
+_CDC_REPLAY_LAKE_ORACLE = f"""
+WITH log AS (SELECT * FROM read_parquet('{_REPLAY_LAKE_LOG}/*.parquet')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY "offset" DESC, seq_in_tx DESC) AS rn
+  FROM log)
+SELECT repo, path, commit, lang, content,
+       "offset"::BIGINT AS last_offset, op AS last_op
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _cdc_replay_split_tx(spark, sf_dir):
+    """Split-transaction delivery under the hash gate: (offset, seq_in_tx) =
+    (event_id div 4, event_id mod 4) — one "transaction" spans 4 events —
+    and the micro-batch boundaries (2999, 6001) deliberately cut
+    transactions mid-offset, so the final state is correct ONLY IF the lake
+    persists last_seq across commits and the MERGE guard compares the full
+    (offset, seq) tuple (lake/merge.py) — a later batch's (750, 2) must
+    beat the prior commit's (750, 1). DuckDB ranks by the same tuple."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    after_t = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    log = ev.select(
+        (F.col("event_id").cast("long") / 4).cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("seq_in_tx"),
+        _op_expr().alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.when(_op_expr() != "delete", F.struct(F.col("event_type"), F.col("value").cast("double")))
+        .cast(after_t)
+        .alias("after"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("_eid"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_replay_split_tx_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["user_id"], n_buckets=16)
+    for i, (lo, hi) in enumerate([(None, 2999), (2999, 6001), (6001, None)]):
+        batch = log
+        if lo is not None:
+            batch = batch.filter(F.col("_eid") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("_eid") < hi)
+        apply_batch(table, batch.drop("_eid"), batch_id=i)
+    return table.read().select(
+        "user_id",
+        "last_offset",
+        F.col("last_seq").cast("long").alias("last_seq"),
+        "last_op",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+_CDC_REPLAY_SPLIT_TX_ORACLE = f"""
+SELECT user_id, (event_id // 4)::BIGINT AS last_offset,
+       (event_id % 4)::BIGINT AS last_seq, op AS last_op,
+       event_type AS last_event_type, round(value, 2) AS last_value
+FROM (SELECT user_id, event_id, event_type, value, {_OP_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id // 4 DESC, event_id % 4 DESC) rn
+      FROM events)
+WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def _cdc_replay_events(spark, sf_dir):
@@ -1493,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_ann": _ivf_ann,
         "cdc_replay_lake": _cdc_replay_lake,
         "cdc_replay_events": _cdc_replay_events,
+        "cdc_replay_split_tx": _cdc_replay_split_tx,
         "lake_snapshot_diff": _lake_snapshot_diff,
         "multimodal_features": _multimodal_features,
         "config_recompute_pipeline": _config_recompute_pipeline,
@@ -1540,6 +1652,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_ORACLE,
         "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
+        "cdc_replay_split_tx": _CDC_REPLAY_SPLIT_TX_ORACLE,
+        "cdc_replay_lake": _CDC_REPLAY_LAKE_ORACLE,
         "lake_snapshot_diff": _LAKE_DIFF_ORACLE,
         "simhash_near_dups": _simhash_oracle_sql(),
         "minhash_lsh_near_dups": _minhash_oracle_sql(),
