@@ -1528,34 +1528,81 @@ WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
 
 
 def _multimodal_features(spark, sf_dir):
-    """Binary-column plumbing under the hash gate: the mapInPandas fake
-    decoder reads the actual payload BYTES; the oracle re-derives the same
-    bytes from the seeded sha256 construction and recomputes the identical
-    integer-exact moments in SQL."""
+    """Real-codec decode under the hash gate: payloads are genuine PPM
+    images and RIFF/PCM16 WAVs (synthesize_media builds real containers
+    around sha256-derived bytes); extract_features PARSES the headers
+    (width/height from the PPM header, sample rate/bit depth from the RIFF
+    fmt chunk) and computes pixel/sample moments. The oracle rebuilds the
+    identical payloads in SQL and recomputes every statistic — header
+    bytes included — so a header-parse slip or channel-order bug fails
+    the hash."""
     from binlog_es_go_spark.operators.multimodal import extract_features, synthesize_media
 
     return extract_features(synthesize_media(spark, n=64))
 
 
 def _multimodal_oracle_sql(n: int = 64, seed: int = 42) -> str:
+    from binlog_es_go_spark.operators.multimodal import (
+        _WAV_N_SAMPLES,
+        _WAV_SAMPLE_RATE,
+        WAV_HEADER_HEX,
+    )
+
+    byte_at = (
+        "(strpos('0123456789abcdef', substr({h}, (2*({k})+1)::INT, 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr({h}, (2*({k})+2)::INT, 1)) - 1)"
+    )
     return f"""
 WITH m AS (SELECT unnest(range(0, {n})) AS media_id),
-h AS (SELECT media_id,
+base AS (SELECT media_id,
+             (['image','audio','video'])[(media_id % 3) + 1] AS kind,
+             (2 + media_id % 3)::INT AS w, (2 + media_id % 2)::INT AS h,
              sha256('{seed}' || media_id::VARCHAR)
                || sha256('{seed}' || media_id::VARCHAR || 'b') AS hx FROM m),
-bytes AS (SELECT media_id, hx, unnest(range(0, 64)) AS k FROM h),
-vals AS (SELECT media_id,
-                (strpos('0123456789abcdef', substr(hx, (2*k+1)::INT, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(hx, (2*k+2)::INT, 1)) - 1) AS v
-         FROM bytes),
-agg AS (SELECT media_id, sum(v) AS s1, sum(v*v) AS s2 FROM vals GROUP BY media_id)
-SELECT a.media_id,
-       (['image','audio','video'])[(a.media_id % 3) + 1] AS kind,
-       64::INT AS n_bytes,
-       a.s1::DOUBLE / 64 AS byte_mean,
-       sqrt(a.s2::DOUBLE / 64 - (a.s1::DOUBLE / 64) * (a.s1::DOUBLE / 64)) AS byte_std,
-       sha256(substr(h.hx, 1, 64)) AS head_sha256
-FROM agg a JOIN h USING (media_id)
+p AS (SELECT *, CASE kind
+        WHEN 'image' THEN lower(hex(('P6' || chr(10) || w::VARCHAR || ' '
+                                     || h::VARCHAR || chr(10) || '255' || chr(10))::BLOB))
+                          || substr(hx, 1, w*h*3*2)
+        WHEN 'audio' THEN '{WAV_HEADER_HEX}' || substr(hx, 1, {4 * _WAV_N_SAMPLES})
+        ELSE hx END AS phex
+      FROM base),
+bytes AS (SELECT media_id, phex, unnest(range(0, length(phex)//2)) AS k FROM p),
+vals AS (SELECT media_id, {byte_at.format(h='phex', k='k')} AS v FROM bytes),
+agg AS (SELECT media_id, count(*) AS nb, sum(v) AS s1, sum(v*v) AS s2 FROM vals GROUP BY media_id),
+pix AS (SELECT media_id, w*h AS npix, unnest(range(0, w*h*3)) AS k, hx
+        FROM p WHERE kind = 'image'),
+pixv AS (SELECT media_id, npix, k % 3 AS ch, {byte_at.format(h='hx', k='k')} AS v FROM pix),
+pixagg AS (SELECT media_id, max(npix) AS npix,
+                  sum(CASE WHEN ch = 0 THEN v END) AS sr,
+                  sum(CASE WHEN ch = 1 THEN v END) AS sg,
+                  sum(CASE WHEN ch = 2 THEN v END) AS sb
+           FROM pixv GROUP BY media_id),
+smp AS (SELECT media_id, unnest(range(0, {_WAV_N_SAMPLES})) AS i, hx
+        FROM p WHERE kind = 'audio'),
+smpv AS (SELECT media_id,
+                ({byte_at.format(h='hx', k='2*i')}) + 256 * ({byte_at.format(h='hx', k='2*i+1')}) AS u
+         FROM smp),
+smpagg AS (SELECT media_id,
+                  sum((u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)
+                      * (u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)) AS ss2,
+                  count(*) AS ns
+           FROM smpv GROUP BY media_id)
+SELECT b.media_id, b.kind,
+       CASE b.kind WHEN 'image' THEN 'ppm' WHEN 'audio' THEN 'wav' ELSE 'raw' END AS fmt,
+       a.nb::INT AS n_bytes,
+       a.s1::DOUBLE / a.nb AS byte_mean,
+       sqrt(a.s2::DOUBLE / a.nb - (a.s1::DOUBLE / a.nb) * (a.s1::DOUBLE / a.nb)) AS byte_std,
+       sha256(substr(p.phex, 1, 64)) AS head_sha256,
+       CASE WHEN b.kind = 'image' THEN b.w END AS width,
+       CASE WHEN b.kind = 'image' THEN b.h END AS height,
+       px.sr::DOUBLE / px.npix AS mean_r,
+       px.sg::DOUBLE / px.npix AS mean_g,
+       px.sb::DOUBLE / px.npix AS mean_b,
+       CASE WHEN b.kind = 'audio' THEN {_WAV_SAMPLE_RATE}::INT END AS sample_rate,
+       CASE WHEN b.kind = 'audio' THEN {_WAV_N_SAMPLES}::INT END AS n_samples,
+       sqrt(sa.ss2::DOUBLE / sa.ns) AS rms
+FROM base b JOIN p USING (media_id) JOIN agg a USING (media_id)
+LEFT JOIN pixagg px USING (media_id) LEFT JOIN smpagg sa USING (media_id)
 """
 
 

@@ -1,16 +1,27 @@
 """Multimodal columns: binary payloads + typed metadata, Spark-side plumbing.
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
-struct; decode / feature-extract / resize / frame-sample run as Arrow-
-batched ``mapInPandas`` stages. The decode libraries (PIL/ffmpeg/librosa)
-are not in this container, so the actual codec step is STUBBED: by default
-a deterministic fake decoder (bytes -> uint8 stats) keeps the plumbing —
-schema, partitioning, UDF signature, batch shape — real and testable; pass
-``require_codecs=True`` to get the honest NotImplementedError where a real
-codec would be called.
+struct; decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` stages. Decoding is REAL for two deterministic containers
+that need no external libraries:
+
+* **PPM (P6)** images — ASCII header parse (width/height/maxval) +
+  per-channel pixel moments over the raw RGB bytes;
+* **WAV (RIFF/PCM16)** audio — chunk walk (fmt + data), sample-rate and
+  bit-depth read from the header, RMS over the int16 samples.
+
+Payloads in an unrecognized container fall back to byte statistics (the
+boundary where PIL/ffmpeg would plug in for JPEG/MP4 at a real deployment);
+``require_codecs=True`` makes that fallback an error instead, so a pipeline
+that must not silently skip media fails loudly.
+
+All emitted statistics are exact-integer moments divided at the end, so an
+ANSI SQL oracle reproduces them bit-for-bit.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,43 +47,159 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes int, byte_mean double, byte_std double, "
-    "head_sha256 string"
+    "media_id long, kind string, fmt string, n_bytes int, byte_mean double, "
+    "byte_std double, head_sha256 string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "sample_rate int, n_samples int, rms double"
 )
+
+# Synthetic audio: PCM16 mono @8 kHz, 24 samples (48 data bytes). The RIFF
+# header is a fixed 44-byte prefix, precomputed once so both the Spark
+# generator and the SQL oracle can concatenate it as a hex constant.
+_WAV_N_SAMPLES = 24
+_WAV_SAMPLE_RATE = 8000
+WAV_HEADER = (
+    b"RIFF"
+    + struct.pack("<I", 36 + 2 * _WAV_N_SAMPLES)
+    + b"WAVE"
+    + b"fmt "
+    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_SAMPLE_RATE, 2 * _WAV_SAMPLE_RATE, 2, 16)
+    + b"data"
+    + struct.pack("<I", 2 * _WAV_N_SAMPLES)
+)
+WAV_HEADER_HEX = WAV_HEADER.hex()
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes).
+    """Deterministic media table with REAL container payloads.
 
-    64-byte payload = unhex(sha256(seed||id) || sha256(seed||id||'b')) —
-    two sha256 halves rather than one sha512 so an ANSI oracle (DuckDB
-    has sha256-over-VARCHAR only) can re-derive the identical bytes."""
-    df = spark.range(n).select(
+    64 pseudo-bytes per id (two sha256 halves, so an ANSI oracle can
+    re-derive them) become:
+
+    * image — a valid binary PPM: ``P6\\n{w} {h}\\n255\\n`` + the first
+      w*h*3 bytes as RGB pixels (w = 2 + id%3, h = 2 + id%2);
+    * audio — a valid 8 kHz PCM16 WAV: fixed 44-byte RIFF header + the
+      first 48 bytes as 24 little-endian samples;
+    * video — the raw 64 bytes (no deterministic video container exists
+      without ffmpeg; exercises the unrecognized-container fallback).
+    """
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
         F.unhex(
             F.concat(
                 F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256),
                 F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string"), F.lit("b")), 256),
             )
-        ).alias("payload"),
+        ).alias("body"),
+        (F.lit(2) + F.pmod(F.col("id"), F.lit(3))).cast("int").alias("w"),
+        (F.lit(2) + F.pmod(F.col("id"), F.lit(2))).cast("int").alias("h"),
+    )
+    ppm_header = F.concat(
+        F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+        F.col("h").cast("string"), F.lit("\n255\n"),
+    ).cast("binary")
+    img = F.concat(ppm_header, F.substring(F.col("body"), F.lit(1), F.col("w") * F.col("h") * 3))
+    wav = F.concat(
+        F.unhex(F.lit(WAV_HEADER_HEX)),
+        F.substring(F.col("body"), F.lit(1), F.lit(2 * _WAV_N_SAMPLES)),
+    )
+    payload = (
+        F.when(F.col("kind") == "image", img)
+        .when(F.col("kind") == "audio", wav)
+        .otherwise(F.col("body"))
+    )
+    mime = (
+        F.when(F.col("kind") == "image", F.lit("image/x-portable-pixmap"))
+        .when(F.col("kind") == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return base.select(
+        "media_id",
+        "kind",
+        payload.alias("payload"),
         F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            (F.col("id") * 100).alias("duration_ms"),
+            mime.alias("mime"),
+            F.when(F.col("kind") == "image", F.col("w")).alias("width"),
+            F.when(F.col("kind") == "image", F.col("h")).alias("height"),
+            F.when(
+                F.col("kind") == "audio",
+                F.lit(_WAV_N_SAMPLES * 1000 // _WAV_SAMPLE_RATE).cast("long"),
+            )
+            .otherwise((F.col("media_id") * 100).cast("long"))
+            .alias("duration_ms"),
         ).alias("meta"),
     )
-    return df
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6) decode: header parse + per-channel exact moments."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    need = w * h * 3
+    if maxval != 255 or len(b) - m.end() < need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=m.end()).reshape(h, w, 3)
+    npix = w * h
+    sums = px.astype(np.int64).sum(axis=(0, 1))  # exact per-channel sums
+    return {
+        "fmt": "ppm",
+        "width": w,
+        "height": h,
+        "mean_r": int(sums[0]) / npix,
+        "mean_g": int(sums[1]) / npix,
+        "mean_b": int(sums[2]) / npix,
+    }
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE decode: chunk walk for fmt + data, RMS over PCM16 samples."""
+    import math
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and size >= 16:
+            _fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or bits != 16 or channels != 1:
+        return None
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples)
+    s2 = int((samples.astype(np.int64) ** 2).sum())  # exact
+    return {
+        "fmt": "wav",
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "rms": math.sqrt(s2 / n) if n else 0.0,
+    }
 
 
 def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of rows).
 
-    The fake decoder computes byte statistics — the real one would swap in
-    `PIL.Image.open(io.BytesIO(payload))` etc. at the marked site. The
-    Spark-side contract (partitioning preserved, one output row per input
-    row, typed schema) is what the tests pin down.
+    PPM and WAV payloads are genuinely decoded (header parse + pixel/sample
+    moments); anything else falls back to whole-payload byte statistics
+    with ``fmt='raw'`` — unless ``require_codecs=True``, which raises for
+    undecodable payloads instead (the honest gate where PIL/ffmpeg would
+    extend the decoder registry). One output row per input row; typed
+    schema; partitioning preserved.
     """
 
     def extract(batches):
@@ -83,38 +210,44 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
         import pandas as pd
 
         for pdf in batches:
-            if require_codecs:
-                # Real codec integration point (PIL / ffmpeg / librosa).
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "install PIL/ffmpeg and replace the fake decoder"
+            rows: dict[str, list] = {
+                k: [] for k in (
+                    "fmt", "n_bytes", "byte_mean", "byte_std", "head_sha256",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                    "sample_rate", "n_samples", "rms",
                 )
-            payloads = pdf["payload"]
-            n_bytes, mean, std, head = [], [], [], []
-            for p in payloads:
-                arr = np.frombuffer(p or b"", dtype=np.uint8)
+            }
+            for p in pdf["payload"]:
+                p = bytes(p or b"")
+                decoded = _decode_ppm(p) or _decode_wav(p)
+                if decoded is None and require_codecs:
+                    raise NotImplementedError(
+                        f"payload in unrecognized container (head={p[:8]!r}); "
+                        "no codec available — extend the decoder registry "
+                        "(PIL/ffmpeg) or drop require_codecs"
+                    )
+                d = decoded or {"fmt": "raw"}
+                arr = np.frombuffer(p, dtype=np.uint8)
                 n = len(arr)
-                n_bytes.append(n)
-                # exact-integer moments -> the same two float ops on every
-                # engine: byte sums fit doubles exactly, so mean/std are
-                # reproducible bit-for-bit by the SQL oracle
                 s1 = int(arr.sum())
                 s2 = int((arr.astype(np.int64) ** 2).sum())
                 m = s1 / n if n else 0.0
-                mean.append(m)
-                std.append(math.sqrt(max(s2 / n - m * m, 0.0)) if n else 0.0)
-                # hash of the head's HEX (ANSI sha256 is VARCHAR-only)
-                head.append(hashlib.sha256((p or b"")[:32].hex().encode()).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pd.array(n_bytes, dtype="int32"),
-                    "byte_mean": mean,
-                    "byte_std": std,
-                    "head_sha256": head,
-                }
-            )
+                rows["fmt"].append(d["fmt"])
+                rows["n_bytes"].append(n)
+                rows["byte_mean"].append(m)
+                rows["byte_std"].append(math.sqrt(max(s2 / n - m * m, 0.0)) if n else 0.0)
+                rows["head_sha256"].append(hashlib.sha256(p[:32].hex().encode()).hexdigest())
+                for k in ("width", "height", "mean_r", "mean_g", "mean_b",
+                          "sample_rate", "n_samples", "rms"):
+                    rows[k].append(d.get(k))
+            out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
+            out.update(rows)
+            out["n_bytes"] = pd.array(out["n_bytes"], dtype="int32")
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            out["n_samples"] = pd.array(out["n_samples"], dtype="Int32")
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
