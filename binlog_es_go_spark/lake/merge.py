@@ -25,15 +25,27 @@ with two strengthenings over the reference:
 
 Physical plan, deliberately:
 
-    1. source → within-batch LWW dedup         (1 shuffle, by key)
-    2. distinct buckets of source keys          (tiny driver collect,
+    1. distinct buckets of source keys          (tiny driver collect,
                                                  bounded by n_buckets)
-    3. target read pruned to those buckets      (file skipping — O(batch),
+    2. target read pruned to those buckets      (file skipping — O(batch),
                                                  not O(table))
-    4. union(target-subset, deduped source) → window by key
-       ordered by (offset desc, seq desc, is_target desc) → rank 1
-                                                (1 shuffle)
+    3. union(target-subset, source) → window by key ordered by (offset
+       desc, seq desc, is_target desc) → rank 1 — within-batch LWW
+       dedup, the cross-batch guard, and the target tie-break in ONE
+       window; Spark 4's WindowGroupLimit runs a map-side partial top-1
+       so at most one candidate row per key per input partition crosses
+       the wide shuffle
+    4. winners → repartition (bucket, key-salt): a second, winners-only
+       exchange that makes the write BUCKET-ALIGNED (one file per bucket
+       per write group; see the layout comment in _merge_once for the
+       measured 3x cost of every one-exchange alternative)
     5. rewrite only affected buckets, atomic manifest commit
+
+Write skew: the salt is crc32(key) % n_out, modular-aligned with the
+bucket id, so raising salt_partitions above n_buckets splits each hot
+bucket into exactly n_out/n_buckets write groups without inflating the
+file count for cold ones. Explicit pre-aggregation salting remains in
+operators/salting.py.
 
 At 100 TB the cost of a micro-batch is proportional to the number of
 buckets its keys hash into, never to table size; raising ``n_buckets``
@@ -116,11 +128,11 @@ def merge_into(
     ``offset`` (long, monotonic per stream partition), ``op`` in
     {insert, update, delete}; optional ``seq_in_tx``, ``ts``.
 
-    ``salt_partitions``: number of write tasks to spread rows over.
-    Hot buckets (Zipf-skewed repos all hashing into few buckets) are
-    split across tasks by a secondary salt on the full key — the explicit
-    skew-salting required by the north rule (AQE skew handling does not
-    cover this write-side shuffle).
+    ``salt_partitions``: number of write tasks; files per commit are
+    bounded by max(n_buckets, salt_partitions). Hot buckets (Zipf-skewed
+    repos all hashing into few buckets) split across write tasks once
+    salt_partitions exceeds n_buckets — see the module docstring's
+    write-skew note.
     """
     for attempt in range(max_commit_retries):
         try:
@@ -164,10 +176,10 @@ def _merge_once(
     ]
 
     # Within-batch dedup is FUSED into the merge window below (one wide
-    # shuffle instead of two): the window's (offset desc, is_target desc,
-    # seq desc) ordering resolves batch-internal LWW and the cross-batch
-    # guard in a single rank. A separate dedup pass would shuffle the full
-    # content twice for nothing.
+    # shuffle total): the window's (offset desc, seq desc, is_target desc)
+    # ordering resolves batch-internal LWW and the cross-batch guard in a
+    # single rank. A separate dedup pass would shuffle the full content
+    # twice for nothing.
     has_seq = bool(seq_col) and seq_col in source.columns
     src = source.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
 
@@ -189,24 +201,27 @@ def _merge_once(
     new_schema = merge_schemas(snap.schema, incoming)
 
     ts_expr = F.col(ts_col).cast("timestamp") if ts_col and ts_col in src.columns else F.lit(None).cast("timestamp")
+    is_delete = F.col(op_col) == F.lit("delete")
     src_norm = src.select(
         *key_cols,
-        *[F.col(c) for c in payload_cols],
+        # Delete events carry no after-image: null their payload so a
+        # delete winner becomes a pure tombstone. (Single select — a
+        # withColumn per payload column re-analyzes the plan each time,
+        # a measurable driver cost per micro-batch.)
+        *[
+            F.when(is_delete, F.lit(None).cast(src.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ],
         F.col(offset_col).cast("long").alias("last_offset"),
         (F.col(seq_col).cast("long") if has_seq else F.lit(0).cast("long")).alias("last_seq"),
         F.col(op_col).alias("last_op"),
-        (F.col(op_col) == F.lit("delete")).alias(DELETED_COL),
+        is_delete.alias(DELETED_COL),
         ts_expr.alias("updated_at"),
         F.col(BUCKET_COL),
         F.lit(0).alias("_is_target"),
     )
-    # Delete events carry no after-image: null their payload so a delete
-    # winner becomes a pure tombstone.
-    for c in payload_cols:
-        src_norm = src_norm.withColumn(
-            c,
-            F.when(F.col(DELETED_COL), F.lit(None).cast(src_norm.schema[c].dataType)).otherwise(F.col(c)),
-        )
 
     # Tombstones included: they hold the offset guard for their key.
     target = table.read(buckets=affected, include_deleted=True)
@@ -223,7 +238,14 @@ def _merge_once(
     # (same offset, later seq arriving in a later batch) still applies; the
     # target wins only a FULL (offset, seq) tie, which is exactly the
     # strict "(offset, seq) >" guard of the sequential oracle
-    # (cdc/oracle.py; SURVEY §7 hard part 2).
+    # (cdc/oracle.py; SURVEY §7 hard part 2). Spark 4 plans the
+    # row_number()==1 filter as WindowGroupLimit: a map-side partial top-1
+    # runs BEFORE the shuffle, so at most one candidate row per key per
+    # input partition crosses the wire. (A max_by(struct(row), guard)
+    # aggregation would express the same thing in one operator, but a
+    # struct-valued agg buffer falls back to sort-based aggregation —
+    # measured 3x slower at 5M events; the window + group-limit form is
+    # the fast plan.)
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("last_offset").desc_nulls_last(),
         F.coalesce(F.col("last_seq"), F.lit(0)).desc(),
@@ -235,7 +257,27 @@ def _merge_once(
         .drop("_rn", "_is_target")
     )
 
-    # Spread the write across tasks; the salt column splits hot buckets.
+    # No repartition before the write: the window already leaves winners
+    # hash-distributed BY KEY, which spreads a hot bucket's keys evenly
+    # across all write tasks — the round-1 (bucket, salt) repartition
+    # re-shuffled the entire rewrite set a second time to achieve the same
+    # spread (measured: the second exchange was ~1/3 of replay wall at 5M
+    # events). ``salt_partitions`` still bounds write tasks (files per
+    # commit) via coalesce — a narrow dependency, not a shuffle.
+    # Write layout: repartition winners by (bucket, crc32(key) % n_out).
+    # Because bucket = crc32(key) % n_buckets, the salt is modular-
+    # arithmetic-aligned with the bucket: when n_out == n_buckets it
+    # degenerates to bucket-identity (ONE file per bucket per commit),
+    # and when n_out = k*n_buckets it splits every bucket into exactly k
+    # write groups (crc%kN determines crc%N) — hot buckets spread k ways,
+    # files per commit bounded at n_buckets*k. Round-3 measurements at 5M
+    # events, local[8], pinned the alternatives: dropping this exchange
+    # and writing the key-hash-distributed window output directly
+    # explodes into n_tasks*n_buckets files (4096 vs 64) and runs 3x
+    # slower; replacing window+WindowGroupLimit with max_by(struct(row))
+    # loses the map-side partial top-1 to a sort-agg fallback, also 3x
+    # slower. Two exchanges — the second carrying only deduped winners —
+    # plus a bucket-aligned write is the measured-fast shape.
     n_out = salt_partitions or table.spark.sparkContext.defaultParallelism
     salt = F.pmod(
         F.crc32(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])),
@@ -258,14 +300,18 @@ def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:
     extras = [BUCKET_COL, "_is_target"]
 
     def proj(df: DataFrame) -> DataFrame:
+        # SQL expression strings, one selectExpr call: Column objects cost
+        # ~3 py4j round trips each, and this runs per micro-batch commit
+        # (see align_to_schema for the measured driver-floor numbers).
         have = set(df.columns)
         exprs = []
         for f in schema.fields:
+            t = f.dataType.simpleString()
             if f.name in have:
-                exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                exprs.append(f"CAST(`{f.name}` AS {t}) AS `{f.name}`")
             else:
-                exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
-        exprs += [F.col(c) for c in extras]
-        return df.select(*exprs)
+                exprs.append(f"CAST(NULL AS {t}) AS `{f.name}`")
+        exprs += [f"`{c}`" for c in extras]
+        return df.selectExpr(*exprs)
 
     return proj(a).unionByName(proj(b))

@@ -315,19 +315,25 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     extras. Extra columns present in ``df`` but not in ``schema`` are kept
     only if they are engine-internal (``_bucket``).
     """
+    # Built as SQL expression STRINGS, one selectExpr call total: the
+    # Column-object form cost ~3 py4j round trips per column and this
+    # projection runs on every micro-batch commit (part of the measured
+    # per-commit driver floor — apply_batch makes ~2.3k py4j calls/batch,
+    # each ~0.5 ms of socket latency).
     have = {f.name: f for f in df.schema.fields}
-    cols = []
+    exprs = []
     for f in schema.fields:
+        t = f.dataType.simpleString()
         if f.name in have:
-            c = F.col(f.name)
             if have[f.name].dataType != f.dataType:
-                c = c.cast(f.dataType)
-            cols.append(c.alias(f.name))
+                exprs.append(f"CAST(`{f.name}` AS {t}) AS `{f.name}`")
+            else:
+                exprs.append(f"`{f.name}`")
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            exprs.append(f"CAST(NULL AS {t}) AS `{f.name}`")
     if BUCKET_COL in have:
-        cols.append(F.col(BUCKET_COL))
-    return df.select(*cols)
+        exprs.append(f"`{BUCKET_COL}`")
+    return df.selectExpr(*exprs)
 
 
 def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
