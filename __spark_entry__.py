@@ -1266,6 +1266,65 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def _ivf_kmeans_ann(spark, sf_dir):
+    """Real IVF (sampled k-means -> inverted lists -> multi-probe): the
+    oracle re-runs the IDENTICAL training (same deterministic sample, same
+    numpy spherical k-means) at oracle-generation time and embeds the
+    centroid literals, then recomputes assignment, probe sets, and cosine
+    ranking in SQL with the same sequential-fold dot products."""
+    from binlog_es_go_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_kmeans_topk(
+        emb, queries, "embedding", "vec_id", "vec_id",
+        k=10, n_centroids=16, nprobe=2, sample_mod=4, iters=8, seed=42,
+    ).select("query_id", "rank", F.col("doc_id").alias("neighbor_id"))
+
+
+def _ivf_kmeans_oracle_sql(
+    k: int = 10, n_centroids: int = 16, nprobe: int = 2, sample_mod: int = 4,
+    iters: int = 8, seed: int = 42, dim: int = _EMB_DIM,
+) -> str:
+    """Runs the same deterministic k-means the Spark query runs (the
+    driver's oracle pass is pinned to sf0.01) and embeds the centroids."""
+    import duckdb as _duck
+
+    from binlog_es_go_spark.operators.similarity import kmeans_centroids
+
+    con = _duck.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        f"WHERE vec_id % {sample_mod} = 0 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    C = kmeans_centroids([r[1] for r in rows], n_centroids, iters, seed)
+
+    dots = "[" + ", ".join(
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> embedding[i]::DOUBLE * "
+        "([" + ", ".join(repr(float(x)) for x in c) + "])[i]))"
+        for c in C
+    ) + "]"
+    cos = _COS_SQL.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH cd AS (SELECT vec_id, embedding, {dots} AS dots FROM embeddings),
+asn AS (SELECT vec_id, embedding, list_indexof(dots, list_aggregate(dots, 'max')) AS cid FROM cd),
+q2 AS (SELECT vec_id, embedding, i::INT AS cid, dots[i::INT] AS d
+       FROM cd CROSS JOIN (SELECT unnest(range(1, {len(C) + 1})) AS i)
+       WHERE vec_id < 5),
+qp AS (SELECT vec_id, embedding, cid FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS pr FROM q2)
+       WHERE pr <= {nprobe})
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM asn c JOIN qp q USING (cid)
+) WHERE rank <= {k}
+"""
+
+
 # Fixed path where _cdc_replay_lake persists its generated changelog so the
 # DuckDB oracle can independently recompute the expected LWW state from the
 # SAME input (the generator is xxhash64-based and not reproducible in SQL,
@@ -1649,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_near_dups": _minhash_lsh,
         "simhash_near_dups": _simhash,
         "ivf_topk_ann": _ivf_ann,
+        "ivf_kmeans_topk_ann": _ivf_kmeans_ann,
         "cdc_replay_lake": _cdc_replay_lake,
         "cdc_replay_events": _cdc_replay_events,
         "cdc_replay_split_tx": _cdc_replay_split_tx,
@@ -1705,5 +1765,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle_sql(),
         "minhash_lsh_near_dups": _minhash_oracle_sql(),
         "ivf_topk_ann": _ivf_oracle_sql(),
+        "ivf_kmeans_topk_ann": _ivf_kmeans_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -384,3 +384,78 @@ def test_frame_sample_plan(spark):
     vids = {r["media_id"]: r["count"] for r in got}
     # media_id 2,5,8 are videos with duration 200,500,800ms
     assert vids[2] == 2 and vids[5] == 5 and vids[8] == 8
+
+
+# ----------------------------------------------------------- k-means IVF
+def _clustered_vectors(n_clusters=20, per_cluster=50, dim=32, seed=3):
+    """Realistic ANN fixture: embeddings CLUSTER (unlike uniform-random
+    vectors, where no sublinear index can reach high recall)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return rows
+
+
+def test_ivf_kmeans_recall_and_cost(spark):
+    """The verdict-r2 bar: recall@10 >= 0.8 at <= 1/8 the brute-force cost
+    on clustered embeddings (sampled k-means centroids, nprobe=2/20)."""
+    from binlog_es_go_spark.operators.similarity import ivf_kmeans_topk
+
+    rows = _clustered_vectors()
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 7)  # one per cluster area
+    nq = queries.count()
+
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10)
+    approx = ivf_kmeans_topk(
+        emb, queries, "embedding", "vec_id", "vec_id",
+        k=10, n_centroids=20, nprobe=2, sample_mod=4, seed=42,
+    )
+    truth = {(r["query_id"], r["doc_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["doc_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall@10 = {recall:.2f}"
+
+    # cost: candidates scored = sum over queries of probed list sizes;
+    # brute scores n * nq pairs. nprobe/n_centroids = 1/8 by construction,
+    # verify the actual list sizes agree (no degenerate giant centroid).
+    from binlog_es_go_spark.operators.similarity import kmeans_centroids
+
+    sample = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") % 4 == 0).collect())
+    )
+    C = kmeans_centroids([v for _, v in sample], 20, 8, 42)
+    # recompute candidate count via the same assignment expressions
+    from binlog_es_go_spark.operators.similarity import ivf_kmeans_topk as _ivf
+
+    probed = _ivf(
+        emb, queries, "embedding", "vec_id", "vec_id",
+        k=10**9, n_centroids=20, nprobe=2, sample_mod=4, seed=42, centroids=C,
+    )
+    n_candidates = probed.count()
+    assert n_candidates <= (n * nq) / 8, f"{n_candidates} vs brute {n * nq}"
+
+
+def test_ivf_kmeans_self_hit_and_determinism(spark):
+    from binlog_es_go_spark.operators.similarity import ivf_kmeans_topk
+
+    rows = _clustered_vectors(n_clusters=6, per_cluster=30)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = ivf_kmeans_topk(emb, queries, "embedding", "vec_id", "vec_id", k=5, n_centroids=8)
+    ra = {(r["query_id"], r["rank"]): r["doc_id"] for r in a.collect()}
+    # a query's own vector is always in its probed (= assigned) list
+    assert all(ra[(q, 1)] == q for q in range(5))
+    rb = {(r["query_id"], r["rank"]): r["doc_id"]
+          for r in ivf_kmeans_topk(emb, queries, "embedding", "vec_id", "vec_id", k=5, n_centroids=8).collect()}
+    assert ra == rb
