@@ -72,17 +72,28 @@ def changelog_stream_kafka(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return project_kafka_records(reader.load(), schema)
+
+
+def project_kafka_records(raw: DataFrame, schema: T.StructType = CHANGELOG_SCHEMA) -> DataFrame:
+    """Kafka wire records -> changelog rows (the testable projection).
+
+    ``raw`` has Kafka's source schema (key/value binary, topic, partition,
+    offset, timestamp...). The JSON value parses into ``schema``; Kafka's
+    own (partition, offset) is the authoritative monotonic position and
+    OVERRIDES any event-embedded positions — Debezium payloads often carry
+    a source LSN, but per-partition ordering guarantees come from the
+    broker, not the producer. Works identically on a batch DataFrame with
+    the same columns, which is how the unit test drives it without a
+    broker (tests/test_pipeline_paths.py)."""
     from pyspark.sql import functions as F
 
-    raw = reader.load()
     payload = F.from_json(F.col("value").cast("string"), schema).alias("e")
     flat = raw.select(
         payload,
         F.col("partition").cast("int").alias("_kafka_partition"),
         F.col("offset").cast("long").alias("_kafka_offset"),
     )
-    # Kafka's own (partition, offset) is the authoritative monotonic
-    # position; event-embedded positions (if any) are overridden.
     return flat.select(
         F.col("_kafka_offset").alias("offset"),
         F.col("_kafka_partition").alias("partition_id"),
