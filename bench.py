@@ -63,6 +63,12 @@ HEADLINE = [
     "cdc_replay_events",
     "token_counts",
     "quality_scores",
+    # round 3: the ops most likely to dominate a real corpus run get
+    # tracked numbers so regressions become visible (VERDICT r2 #8)
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "corpus_contamination",
+    "ivf_kmeans_topk_ann",
 ]
 
 # AQE off for the replay sessions: its per-stage materialization barriers
