@@ -62,6 +62,8 @@ def apply_batch(
     salt_partitions: int | None = None,
     prune_buckets: bool = True,
     stream_partitions: int | None = None,
+    affected_buckets: list[int] | None = None,
+    precomputed_offsets: dict[str, int] | None = None,
 ) -> MergeResult:
     """Apply one changelog micro-batch to the lake table.
 
@@ -75,6 +77,10 @@ def apply_batch(
     reference's replication stream identity), per-partition max offsets
     are collected as Observation metrics DURING the merge write itself —
     zero extra jobs per batch. Unknown -> a dedicated column-pruned scan.
+
+    ``affected_buckets`` + ``precomputed_offsets``: callers that already
+    know both (``replay_changelog`` computes them for ALL batches in one
+    scan) skip the per-batch metadata job entirely.
     """
     t0 = time.time()
     snap = table.snapshot()
@@ -83,7 +89,9 @@ def apply_batch(
 
     obs = None
     offs: dict[str, int] = {}
-    if prune_buckets:
+    if affected_buckets is not None and precomputed_offsets is not None:
+        offs, buckets = dict(precomputed_offsets), list(affected_buckets)
+    elif prune_buckets:
         # incremental tail: a micro-batch touches few buckets — discover
         # them (plus per-partition offsets) in one column-pruned scan so
         # the MERGE reads O(batch) target files, not O(table)
@@ -160,6 +168,72 @@ def apply_batch(
     )
     result.wall_sec = time.time() - t0
     return result
+
+
+def replay_changelog(
+    table: LakeTable,
+    changelog: DataFrame,
+    boundaries: list[int],
+    mapper: Callable[[DataFrame], DataFrame] | None = None,
+    source: str = "replay",
+    salt_partitions: int | None = None,
+    first_batch_id: int = 0,
+) -> list[MergeResult]:
+    """Bulk multi-commit replay with ONE metadata pass (backfill path).
+
+    ``boundaries``: sorted offset cut points; commit i covers offsets in
+    ``[boundaries[i-1], boundaries[i])`` (first: below boundaries[0];
+    last: at or above boundaries[-1]). Identical semantics to calling
+    ``apply_batch`` once per range — same MERGEs, same manifest commits,
+    same (offset, seq) guard — but the per-batch metadata jobs (affected
+    buckets + per-partition max offsets) collapse into a single
+    column-pruned scan grouped by batch: for a K-commit backfill that
+    removes K-1 serial driver jobs, the dominant amortizable slice of the
+    per-commit floor (BENCH.md "Round-3 serial-floor attack").
+    """
+    from binlog_es_go_spark.lake.table import bucket_expr
+
+    snap = table.snapshot()
+    flat = flatten_changelog(changelog)
+    batch = F.lit(0)
+    for b in boundaries:
+        batch = batch + (F.col("offset") >= F.lit(int(b))).cast("int")
+    rows = (
+        flat.select(
+            batch.alias("_batch"), "partition_id", "offset",
+            bucket_expr(snap.key_cols, snap.n_buckets).alias("_b"),
+        )
+        .groupBy("_batch", "partition_id")
+        .agg(F.max("offset").alias("mx"), F.collect_set("_b").alias("buckets"))
+        .collect()
+    )
+    per_batch_offs: dict[int, dict[str, int]] = {}
+    per_batch_buckets: dict[int, set[int]] = {}
+    for r in rows:
+        i = int(r["_batch"])
+        per_batch_offs.setdefault(i, {})[str(r["partition_id"])] = int(r["mx"])
+        per_batch_buckets.setdefault(i, set()).update(r["buckets"])
+
+    results = []
+    cuts = [None, *boundaries, None]
+    for i in range(len(boundaries) + 1):
+        lo, hi = cuts[i], cuts[i + 1]
+        part = changelog
+        if lo is not None:
+            part = part.filter(F.col("offset") >= int(lo))
+        if hi is not None:
+            part = part.filter(F.col("offset") < int(hi))
+        if i not in per_batch_offs:
+            continue  # empty range: no commit, same as apply_batch on empty
+        results.append(
+            apply_batch(
+                table, part, mapper=mapper, batch_id=first_batch_id + i,
+                source=source, salt_partitions=salt_partitions,
+                affected_buckets=sorted(per_batch_buckets[i]),
+                precomputed_offsets=per_batch_offs[i],
+            )
+        )
+    return results
 
 
 def applied_offsets(table: LakeTable) -> dict[str, int]:

@@ -41,17 +41,43 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_ids_per_group: int = 10_000
+) -> DataFrame:
     """Groups of exact duplicates (after whitespace/case normalization).
 
     Returns (fingerprint, n_dups, doc_ids sorted) for groups with n>1.
     One shuffle; the canonical first pass of any dedup pipeline.
+
+    ``max_ids_per_group`` bounds the materialized id array: a pathological
+    group (think empty-string documents at corpus scale — billions of
+    rows, one fingerprint) would otherwise build ONE unbounded row on a
+    single reducer. The bound is enforced BEFORE aggregation with a
+    rank-limit window (Spark plans it as WindowGroupLimit, so the cap
+    applies map-side too, not just in the agg buffer); ``n_dups`` stays
+    the true count and the id list is the sorted first
+    ``max_ids_per_group`` members — enough for audit sampling; downstream
+    dedup uses ``dedup_exact``, which never materializes groups. Pass
+    ``None`` to keep full lists (one shuffle instead of two window
+    passes on the same key).
     """
-    return (
-        df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n_dups") > 1)
+    fp = df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+    if max_ids_per_group is None:
+        return (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_dups") > 1)
+        )
+    w = Window.partitionBy("fingerprint")
+    capped = (
+        fp.withColumn("n_dups", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col(id_col))))
+        .filter((F.col("n_dups") > 1) & (F.col("_rn") <= max_ids_per_group))
+    )
+    # same hash(fingerprint) clustering as the window -> no extra exchange
+    return capped.groupBy("fingerprint").agg(
+        F.first("n_dups").alias("n_dups"),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
     )
 
 

@@ -184,3 +184,28 @@ def test_transaction_split_across_batches(spark, tmp_path):
     )
     apply_batch(t, lower, batch_id=3)
     assert t.read().select("content").collect()[0]["content"] == "v seq3"
+
+
+def test_replay_changelog_matches_per_batch_apply(spark, tmp_path, changelog, oracle_state):
+    """Bulk replay (one metadata pass for all commits) must produce the
+    IDENTICAL final state, manifest offsets, and commit count as the
+    batch-at-a-time path."""
+    from binlog_es_go_spark.cdc.apply import replay_changelog
+    from binlog_es_go_spark.cdc.oracle import table_digest
+
+    a = LakeTable.create(spark, str(tmp_path / "a"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(a, changelog.filter(F.col("offset") < 700), batch_id=0)
+    apply_batch(a, changelog.filter((F.col("offset") >= 700) & (F.col("offset") < 1400)), batch_id=1)
+    apply_batch(a, changelog.filter(F.col("offset") >= 1400), batch_id=2)
+
+    b = LakeTable.create(spark, str(tmp_path / "b"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    results = replay_changelog(b, changelog, boundaries=[700, 1400])
+
+    assert len(results) == 3 and b.current_version() == a.current_version()
+    da = table_digest(a.read().select("repo", "path", "content").toPandas())
+    db = table_digest(b.read().select("repo", "path", "content").toPandas())
+    assert da == db
+    assert applied_offsets(a) == applied_offsets(b)
+    # re-running the bulk replay is a no-op (same guard as apply_batch)
+    replay_changelog(b, changelog, boundaries=[700, 1400])
+    assert table_digest(b.read().select("repo", "path", "content").toPandas()) == da

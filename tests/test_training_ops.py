@@ -459,3 +459,17 @@ def test_ivf_kmeans_self_hit_and_determinism(spark):
     rb = {(r["query_id"], r["rank"]): r["doc_id"]
           for r in ivf_kmeans_topk(emb, queries, "embedding", "vec_id", "vec_id", k=5, n_centroids=8).collect()}
     assert ra == rb
+
+
+def test_exact_duplicates_group_cap(spark):
+    """A pathological fingerprint group (every row identical) must not
+    materialize an unbounded id array: n_dups stays the true count, the
+    id list is capped."""
+    rows = [(i, "same text") for i in range(500)] + [(1000, "other"), (1001, "OTHER ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = exact_duplicates(df, "text", "doc_id", max_ids_per_group=10).collect()
+    by_n = {r["n_dups"]: r["doc_ids"] for r in got}
+    assert by_n[500] == list(range(10)), "capped at first 10 sorted ids"
+    assert by_n[2] == [1000, 1001], "small groups unaffected"
+    full = exact_duplicates(df, "text", "doc_id", max_ids_per_group=None).collect()
+    assert {r["n_dups"]: len(r["doc_ids"]) for r in full} == {500: 500, 2: 2}
