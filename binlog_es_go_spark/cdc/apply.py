@@ -64,6 +64,7 @@ def apply_batch(
     stream_partitions: int | None = None,
     affected_buckets: list[int] | None = None,
     precomputed_offsets: dict[str, int] | None = None,
+    extra_properties: dict | None = None,
 ) -> MergeResult:
     """Apply one changelog micro-batch to the lake table.
 
@@ -156,6 +157,7 @@ def apply_batch(
                     "wall_sec": round(time.time() - t0, 2),
                 }
             ],
+            **(extra_properties or {}),
         }
 
     result = merge_into(

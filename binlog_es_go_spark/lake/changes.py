@@ -82,11 +82,17 @@ def snapshot_changes(
     to_version = table.current_version() if to_version is None else to_version
     snap = table.snapshot(to_version)
     gc_version = int(snap.properties.get(GC_VERSION_PROP, -1))
-    if from_version < gc_version and not allow_missing_deletes:
+    # The compaction's BASE (gc_version - 1) is the earliest safe
+    # from_version: every tombstone the GC dropped was already a tombstone
+    # (key invisible) at base, so a base->post diff emits no delete for it
+    # correctly. Only diffs from BEFORE base can have a delete-in-range
+    # whose tombstone is gone. (compact() records the watermark only when
+    # it actually dropped at least one tombstone.)
+    if gc_version >= 0 and from_version < gc_version - 1 and not allow_missing_deletes:
         raise TombstoneRetentionError(
             f"diff from v{from_version} spans the tombstone GC at v{gc_version} "
             f"(offsets below {snap.properties.get(GC_OFFSET_PROP)}): deletes in "
-            f"range may be unobservable. Diff from >= v{gc_version}, or pass "
+            f"range may be unobservable. Diff from >= v{gc_version - 1}, or pass "
             f"allow_missing_deletes=True for insert/update-only semantics."
         )
     key_cols = snap.key_cols
@@ -177,9 +183,13 @@ def replicate_changes(
     (offset, seq) guard, so overlapping/replayed ranges are no-ops).
     Replicated events ride the reserved REPLICATION_PARTITION (-3) so the
     target's per-partition offset bookkeeping never collides with a real
-    changelog's partitions."""
+    changelog's partitions. The consumed source version is recorded in the
+    target manifest (``replicated_through``) atomically with the commit,
+    so an incremental replicator resumes from its own recorded position
+    (scripts/run_pipeline.py --mode replicate)."""
     from binlog_es_go_spark.cdc.apply import apply_batch
 
+    to_version = source.current_version() if to_version is None else to_version
     changes = snapshot_changes(
         source, from_version, to_version, allow_missing_deletes=allow_missing_deletes
     )
@@ -199,4 +209,7 @@ def replicate_changes(
         .cast(after_type).alias("after"),
         "ts",
     )
-    return apply_batch(target, wrapped, batch_id=batch_id, source="replicate")
+    return apply_batch(
+        target, wrapped, batch_id=batch_id, source="replicate",
+        extra_properties={"replicated_through": to_version},
+    )

@@ -36,24 +36,38 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
     """
     snap = table.snapshot()
     df = table.read(include_deleted=True)
-    props: dict = {"last_compaction_version": snap.version}
+    obs = None
     if drop_tombstones_below is not None:
-        df = df.filter(
-            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("last_offset") < drop_tombstones_below))
-        )
-        from binlog_es_go_spark.lake.changes import GC_OFFSET_PROP, GC_VERSION_PROP
+        from pyspark.sql import Observation
 
-        prev_off = int(snap.properties.get(GC_OFFSET_PROP, -1))
-        props[GC_VERSION_PROP] = snap.version + 1
-        props[GC_OFFSET_PROP] = max(prev_off, int(drop_tombstones_below))
+        garbage = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col("last_offset") < drop_tombstones_below
+        )
+        # count the dropped tombstones inside the compaction scan itself
+        # (zero extra jobs): a compaction that drops NONE must not poison
+        # future snapshot diffs with a GC watermark
+        obs = Observation()
+        df = df.observe(obs, F.sum(garbage.cast("long")).alias("dropped"))
+        df = df.filter(~garbage)
     df = table.with_bucket(df)
     n_parts = max(snap.n_buckets * target_files_per_bucket, 1)
     out = df.repartition(n_parts, F.col("_bucket"))
+
+    def props_after_write(base_props: dict) -> dict:
+        upd: dict = {"last_compaction_version": snap.version}
+        if obs is not None and int(obs.get.get("dropped") or 0) > 0:
+            from binlog_es_go_spark.lake.changes import GC_OFFSET_PROP, GC_VERSION_PROP
+
+            prev_off = int(base_props.get(GC_OFFSET_PROP, -1))
+            upd[GC_VERSION_PROP] = snap.version + 1
+            upd[GC_OFFSET_PROP] = max(prev_off, int(drop_tombstones_below))
+        return upd
+
     new_snap = table.write_buckets(
         out,
         replaced_buckets=list(range(snap.n_buckets)),
         expected_version=snap.version,
-        properties_update=props,
+        properties_fn=props_after_write,
     )
     return new_snap.version
 

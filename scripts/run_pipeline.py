@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser(description="binlog-es-go-spark pipeline runner")
     ap.add_argument("--mode", required=True,
-                    choices=["realtime", "bootstrap", "self-check", "replay-deadletters"])
+                    choices=["realtime", "bootstrap", "self-check", "replay-deadletters",
+                             "compact", "expire-snapshots", "stats", "replicate"])
     ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
@@ -41,6 +42,15 @@ def main() -> int:
     ap.add_argument("--where", default=None, help="bootstrap WHERE pushdown")
     ap.add_argument("--timeout-sec", type=float, default=3600)
     ap.add_argument("--cores", type=int, default=None, help="local[N] when no session exists")
+    # maintenance / replication modes
+    ap.add_argument("--drop-tombstones", action="store_true",
+                    help="compact: GC tombstones below the applied-offset watermark "
+                         "(records tombstone_gc_version; snapshot diffs spanning it will refuse)")
+    ap.add_argument("--keep-last", type=int, default=2, help="expire-snapshots: versions to retain")
+    ap.add_argument("--min-age-sec", type=float, default=600.0,
+                    help="expire-snapshots: never delete commit dirs younger than this")
+    ap.add_argument("--replica", help="replicate: target lake table root")
+    ap.add_argument("--from-version", type=int, default=None, help="replicate: source version floor")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +77,63 @@ def main() -> int:
             name="cli", target_table_path=args.target, key_cols=key_cols,
             n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
         )
+
+    if args.mode in ("compact", "expire-snapshots", "stats", "replicate"):
+        # lake maintenance (the Iceberg rewrite_data_files / expire_snapshots
+        # / replication analog; no reference equivalent — ES merges segments)
+        table = LakeTable.load(spark, cfg.target_table_path)
+        if args.mode == "compact":
+            from binlog_es_go_spark.cdc.apply import applied_offsets
+            from binlog_es_go_spark.lake.maintenance import compact
+
+            wm = None
+            if args.drop_tombstones:
+                offs = applied_offsets(table)
+                if not offs:
+                    ap.error("--drop-tombstones needs applied offsets in the manifest")
+                wm = min(offs.values())
+            v = compact(table, drop_tombstones_below=wm)
+            print(f"compacted -> v{v}" + (f" (tombstones below {wm} dropped)" if wm is not None else ""))
+            return 0
+        if args.mode == "expire-snapshots":
+            from binlog_es_go_spark.lake.maintenance import expire_snapshots
+
+            removed = expire_snapshots(table, keep_last=args.keep_last, min_age_sec=args.min_age_sec)
+            print(f"expired {len(removed)} data files")
+            return 0
+        if args.mode == "stats":
+            from binlog_es_go_spark.lake.maintenance import table_stats
+
+            print(table_stats(table))
+            return 0
+        # replicate: incremental lake-to-lake sync from the replica's own
+        # recorded position (snapshot diff through the apply core)
+        from binlog_es_go_spark.lake.changes import replicate_changes
+
+        if not args.replica:
+            ap.error("--replica is required for --mode replicate")
+        if not LakeTable.exists(args.replica):
+            src_snap = table.snapshot()
+            user_fields = [
+                f for f in src_snap.schema.fields
+                if f.name not in ("last_offset", "last_seq", "last_op", "_deleted", "updated_at")
+            ]
+            from pyspark.sql import types as T
+
+            LakeTable.create(spark, args.replica, T.StructType(user_fields),
+                             key_cols=src_snap.key_cols, n_buckets=src_snap.n_buckets)
+        replica = LakeTable.load(spark, args.replica)
+        from_v = args.from_version
+        if from_v is None:
+            # resume from the replica's own recorded position
+            from_v = int(replica.snapshot().properties.get("replicated_through", 0))
+        to_v = table.current_version()
+        if to_v <= from_v:
+            print(f"replica up to date (source v{to_v})")
+            return 0
+        res = replicate_changes(table, replica, from_v, to_v)
+        print(f"replicated v{from_v}..v{to_v} -> replica v{res.version}")
+        return 0
 
     if args.mode == "self-check":
         from binlog_es_go_spark.cdc.preflight import run_preflight

@@ -103,3 +103,37 @@ def test_cli_bootstrap_selfcheck_realtime(spark, tmp_path):
         assert got[k][2] == k and got[k][1] is not None
     assert got[6] == ("cust6", "N0", 0)
     assert got[8] == ("cust8", "N2", 0)
+
+
+def test_cli_maintenance_and_replication(spark, tmp_path):
+    """Operator maintenance surface: bootstrap -> stats -> compact with
+    tombstone GC -> incremental replicate (position recorded in the
+    replica manifest; second run is 'up to date')."""
+    src_path = str(tmp_path / "msrc")
+    spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "id long, val string"
+    ).write.parquet(src_path)
+    target = str(tmp_path / "mtarget")
+    replica = str(tmp_path / "mreplica")
+
+    r = _run(["--mode", "bootstrap", "--target", target, "--source", src_path,
+              "--key-cols", "id", "--n-buckets", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(["--mode", "stats", "--target", target, "--key-cols", "id"])
+    assert r.returncode == 0 and "'rows': 40" in r.stdout, r.stdout + r.stderr[-500:]
+
+    r = _run(["--mode", "compact", "--target", target, "--key-cols", "id",
+              "--drop-tombstones"])
+    assert r.returncode == 0 and "compacted -> v" in r.stdout, r.stdout + r.stderr[-2000:]
+
+    r = _run(["--mode", "replicate", "--target", target, "--key-cols", "id",
+              "--replica", replica])
+    assert r.returncode == 0 and "replicated v0..v" in r.stdout, r.stdout + r.stderr[-2000:]
+    rep = LakeTable.load(spark, replica)
+    assert rep.read().count() == 40
+    assert int(rep.snapshot().properties["replicated_through"]) == 2
+
+    r = _run(["--mode", "replicate", "--target", target, "--key-cols", "id",
+              "--replica", replica])
+    assert r.returncode == 0 and "up to date" in r.stdout, r.stdout + r.stderr[-2000:]
