@@ -804,15 +804,16 @@ def _corpus_clean_pipeline(spark, sf_dir):
     return dedup_exact(kept, "text", "doc_id").select("doc_id", "lang_pred", "quality")
 
 
-_CLEAN_PIPELINE_ORACLE = rf"""
-WITH doubled AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+def _clean_tail_sql(src: str) -> str:
+    """The composed cleaning chain (lang -> quality -> exact-dedup) as SQL
+    CTEs over any (doc_id, text) source CTE — shared by the standalone
+    corpus_clean_pipeline oracle and the CDC-fed cdc_corpus_ingest one."""
+    return rf"""
 scored AS (
   SELECT doc_id, text,
          {_profile_sql(EN)} AS s_en, {_profile_sql(DE)} AS s_de,
          {_profile_sql(FR)} AS s_fr, {_profile_sql(ES)} AS s_es
-  FROM doubled),
+  FROM {src}),
 lang AS (
   SELECT doc_id, text,
          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -848,8 +849,76 @@ ranked AS (
            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
            ORDER BY doc_id) AS rn
   FROM kept)
-SELECT doc_id, lang_pred, quality FROM ranked WHERE rn = 1
+SELECT doc_id, lang_pred, quality FROM ranked WHERE rn = 1"""
+
+
+_CLEAN_PIPELINE_ORACLE = rf"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+{_clean_tail_sql("doubled")}
 """
+
+# CDC-fed corpus ingestion: LWW over the synthetic changelog, then the
+# same cleaning chain over the surviving state.
+_CDC_CORPUS_INGEST_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0),
+{_clean_tail_sql("base")}
+"""
+
+
+def _cdc_corpus_ingest(spark, sf_dir):
+    """The engine's reason to exist, composed end to end: a DOCUMENT
+    changelog (inserts, then updates for doc_id%7, then deletes for
+    doc_id%10, across two micro-batches) replays through the
+    offset-guarded MERGE, and the training-corpus cleaning pass (language
+    filter -> quality threshold -> exact dedup) runs over the FINAL LAKE
+    STATE — deleted docs must not reach the corpus, updated text must be
+    the scored text. The oracle recomputes the LWW survivor set and the
+    identical cleaning chain in SQL."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.table import LakeTable
+    from binlog_es_go_spark.operators.dedup import dedup_exact
+    from binlog_es_go_spark.operators.text import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    after_t = T.StructType([T.StructField("text", T.StringType())])
+
+    def ev(df, off, op, text_col):
+        return df.select(
+            off.cast("long").alias("offset"),
+            F.lit(0).cast("int").alias("partition_id"),
+            F.lit(0).cast("int").alias("seq_in_tx"),
+            F.lit(op).alias("op"),
+            F.col("doc_id"),
+            (F.struct(text_col.alias("text")) if op != "delete" else F.lit(None)).cast(after_t).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+
+    inserts = ev(docs, F.col("doc_id"), "insert", F.col("text"))
+    updates = ev(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        F.col("doc_id") + 100000, "update", F.concat(F.col("text"), F.lit(" updated")),
+    )
+    deletes = ev(docs.filter(F.col("doc_id") % 10 == 0), F.col("doc_id") + 200000, "delete", F.col("text"))
+
+    payload = T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())])
+    root = tempfile.mkdtemp(prefix="cdc_corpus_ingest_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["doc_id"], n_buckets=16)
+    apply_batch(table, inserts, batch_id=0)
+    apply_batch(table, updates.unionByName(deletes), batch_id=1)
+
+    state = table.read().select("doc_id", "text")
+    scored = state.withColumn("lang_pred", lang_id("text")).withColumn(
+        "quality", F.round(quality_score("text"), 4)
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    return dedup_exact(kept, "text", "doc_id").select("doc_id", "lang_pred", "quality")
 
 
 def _lang_id_counts(spark, sf_dir):
@@ -1715,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_snapshot_diff": _lake_snapshot_diff,
         "multimodal_features": _multimodal_features,
         "config_recompute_pipeline": _config_recompute_pipeline,
+        "cdc_corpus_ingest": _cdc_corpus_ingest,
     }
 
 
@@ -1766,5 +1836,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dups": _minhash_oracle_sql(),
         "ivf_topk_ann": _ivf_oracle_sql(),
         "ivf_kmeans_topk_ann": _ivf_kmeans_oracle_sql(),
+        "cdc_corpus_ingest": _CDC_CORPUS_INGEST_ORACLE,
         "multimodal_features": _multimodal_oracle_sql(),
     }
