@@ -154,7 +154,8 @@ def flatten_changelog(changelog: DataFrame) -> DataFrame:
     payload_fields = [
         f.name for f in changelog.schema["after"].dataType.fields if f.name not in meta
     ]
-    return changelog.select(
-        *meta,
-        *[F.col(f"after.{f}").alias(f) for f in payload_fields],
+    # one selectExpr call — this projection runs per micro-batch commit
+    return changelog.selectExpr(
+        *[f"`{c}`" for c in meta],
+        *[f"`after`.`{f}` AS `{f}`" for f in payload_fields],
     )

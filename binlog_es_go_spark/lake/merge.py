@@ -200,27 +200,33 @@ def _merge_once(
     )
     new_schema = merge_schemas(snap.schema, incoming)
 
-    ts_expr = F.col(ts_col).cast("timestamp") if ts_col and ts_col in src.columns else F.lit(None).cast("timestamp")
-    is_delete = F.col(op_col) == F.lit("delete")
-    src_norm = src.select(
-        *key_cols,
-        # Delete events carry no after-image: null their payload so a
-        # delete winner becomes a pure tombstone. (Single select — a
-        # withColumn per payload column re-analyzes the plan each time,
-        # a measurable driver cost per micro-batch.)
+    # Built as SQL expression strings in ONE selectExpr call (Column
+    # objects cost ~3 py4j round trips each; this runs per micro-batch —
+    # see align_to_schema for the measured per-commit driver floor).
+    # Delete events carry no after-image: null their payload so a delete
+    # winner becomes a pure tombstone.
+    is_delete_sql = f"`{op_col}` = 'delete'"
+    ts_sql = (
+        f"CAST(`{ts_col}` AS timestamp)"
+        if ts_col and ts_col in src.columns
+        else "CAST(NULL AS timestamp)"
+    )
+    seq_sql = f"CAST(`{seq_col}` AS bigint)" if has_seq else "CAST(0 AS bigint)"
+    src_norm = src.selectExpr(
+        *[f"`{k}`" for k in key_cols],
         *[
-            F.when(is_delete, F.lit(None).cast(src.schema[c].dataType))
-            .otherwise(F.col(c))
-            .alias(c)
+            f"CASE WHEN {is_delete_sql} "
+            f"THEN CAST(NULL AS {src.schema[c].dataType.simpleString()}) "
+            f"ELSE `{c}` END AS `{c}`"
             for c in payload_cols
         ],
-        F.col(offset_col).cast("long").alias("last_offset"),
-        (F.col(seq_col).cast("long") if has_seq else F.lit(0).cast("long")).alias("last_seq"),
-        F.col(op_col).alias("last_op"),
-        is_delete.alias(DELETED_COL),
-        ts_expr.alias("updated_at"),
-        F.col(BUCKET_COL),
-        F.lit(0).alias("_is_target"),
+        f"CAST(`{offset_col}` AS bigint) AS last_offset",
+        f"{seq_sql} AS last_seq",
+        f"`{op_col}` AS last_op",
+        f"({is_delete_sql}) AS `{DELETED_COL}`",
+        f"{ts_sql} AS updated_at",
+        f"`{BUCKET_COL}`",
+        "0 AS _is_target",
     )
 
     # Tombstones included: they hold the offset guard for their key.
