@@ -126,3 +126,23 @@ def test_ann_broadcasts_queries_not_corpus(spark):
     out = cosine_topk(emb, emb.filter("vec_id < 3"), "embedding", "vec_id", "vec_id", k=5)
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_kmeans_corpus_side_no_shuffle(spark):
+    """The k-means IVF plan at 100 TB: centroid assignment is pure codegen
+    expressions on the corpus scan, the (small) probe side broadcasts, and
+    the only Exchange is the per-query top-k window — the corpus is
+    scanned exactly once and never hash-shuffled."""
+    from binlog_es_go_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "embedding", "vec_id", "vec_id",
+        k=5, n_centroids=8, nprobe=2,
+    )
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan, plan[:600]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python in the IVF hot path: {marker}"
+    # exactly one data shuffle: the top-k window on query_id
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
