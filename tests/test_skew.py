@@ -69,3 +69,46 @@ def test_salt_spreads_hot_repo(spark):
     )
     n = df.select(salt_column(["repo", "path"], 32).alias("s")).select("s").distinct().count()
     assert n == 32
+
+
+def test_merge_write_salt_splits_hot_bucket_above_n_buckets(spark, tmp_path):
+    """The write-layout dial pinned (lake/merge.py): the (bucket,
+    crc32(key) % n_out) repartition degenerates to one file per bucket at
+    n_out == n_buckets, and splits each bucket into n_out/n_buckets write
+    groups above that — so a hot bucket's write fans out without
+    inflating cold buckets' file counts."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    PAYLOAD = T.StructType([T.StructField(n, T.StringType()) for n in ["repo", "path", "commit", "lang", "content"]])
+    log = generate_changelog(spark, 4000, n_repos=30, paths_per_repo=20, seed=9)
+    log.cache().count()
+
+    def files_per_bucket(root):
+        out = {}
+        data = os.path.join(root, "data")
+        for commit in os.listdir(data):
+            cdir = os.path.join(data, commit)
+            for entry in os.listdir(cdir):
+                if entry.startswith("_bucket="):
+                    b = int(entry.split("=")[1])
+                    n = len([f for f in os.listdir(os.path.join(cdir, entry)) if f.endswith(".parquet")])
+                    out[b] = out.get(b, 0) + n
+        return out
+
+    t1 = LakeTable.create(spark, str(tmp_path / "t1"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(t1, log, batch_id=0, salt_partitions=8, prune_buckets=False)
+    fpb1 = files_per_bucket(str(tmp_path / "t1"))
+    assert max(fpb1.values()) == 1, f"n_out==n_buckets must be a bucket-identity write: {fpb1}"
+
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(t2, log, batch_id=0, salt_partitions=32, prune_buckets=False)
+    fpb2 = files_per_bucket(str(tmp_path / "t2"))
+    # crc%32 takes 4 values per crc%8 class -> up to 4 write groups/bucket
+    assert max(fpb2.values()) > 1, f"hot buckets must split above n_buckets: {fpb2}"
+    assert max(fpb2.values()) <= 4, fpb2
