@@ -16,8 +16,14 @@ Manifest schema::
       "schema": <Spark StructType json>,
       "buckets": {"0": ["data/u1/_bucket=0/f.parquet", ...], ...},
       "properties": {...},          # free-form (per-partition offsets live here too)
-      "stats": {"rows": 12345}
+      "stats": {"rows": 12345},
+      "file_stats": {"data/u1/_bucket=0/f.parquet":
+                     {"size": [min, max, null_count], ...}, ...}
     }
+
+``file_stats`` carries parquet footer min/max per primitive column,
+harvested at commit time (driver-local metadata reads): value-range scans
+prune files the way Iceberg's column stats do — see ``files_for``.
 
 Commit protocol (single commit point, like Iceberg's metadata pointer):
 write ``manifest-<v+1>.json`` fully, then atomically ``os.replace`` a tmp
@@ -71,6 +77,11 @@ class Snapshot:
     buckets: dict[int, list[str]]  # bucket id -> relative file paths
     properties: dict[str, Any]
     stats: dict[str, Any]
+    # relative file path -> {column: [min, max, null_count]} for primitive
+    # columns (parquet footer statistics, harvested at commit time) — the
+    # Iceberg data-skipping analog: value-predicate scans prune FILES, not
+    # just buckets. Absent for pre-stats manifests (empty dict).
+    file_stats: dict[str, dict[str, list]] = None  # type: ignore[assignment]
 
 
 class LakeTable:
@@ -102,6 +113,7 @@ class LakeTable:
             buckets={},
             properties=properties or {},
             stats={"rows": 0},
+            file_stats={},
         )
         table._write_manifest(snap)
         table._swap_version(0, expected_parent=None)
@@ -159,6 +171,7 @@ class LakeTable:
             buckets={int(k): v for k, v in m["buckets"].items()},
             properties=m.get("properties", {}),
             stats=m.get("stats", {}),
+            file_stats=m.get("file_stats", {}),
         )
 
     def _write_manifest(self, snap: Snapshot) -> None:
@@ -171,6 +184,7 @@ class LakeTable:
             "buckets": {str(k): v for k, v in snap.buckets.items()},
             "properties": snap.properties,
             "stats": snap.stats,
+            "file_stats": snap.file_stats or {},
         }
         path = os.path.join(self.root, f"manifest-{snap.version}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -204,20 +218,70 @@ class LakeTable:
         os.replace(tmp, vpath)
 
     # ---------------------------------------------------------------- read
+    def files_for(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        stats_filter: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """Relative data-file paths for a scan, pruned two ways:
+
+        * ``buckets`` — key-hash pruning (Iceberg partition-pruning analog);
+        * ``stats_filter`` — ``{column: (lo, hi)}`` conjunctive value
+          ranges checked against the manifest's per-file parquet footer
+          min/max (Iceberg data-skipping analog): a file is skipped only
+          when its recorded range PROVABLY misses ``[lo, hi]`` (either
+          bound may be None for half-open). Files without stats for a
+          column are kept; NULL cells never satisfy a range predicate, so
+          null counts don't block skipping. Callers must still apply the
+          real predicate — pruning is an optimization, never a filter.
+        """
+        snap = self.snapshot(version)
+        want = snap.buckets if buckets is None else {b: snap.buckets.get(b, []) for b in buckets}
+        rels = [p for paths in want.values() for p in paths]
+        if not stats_filter:
+            return rels
+        fs = snap.file_stats or {}
+
+        def keep(rel: str) -> bool:
+            st = fs.get(rel)
+            if not st:
+                return True
+            for col, bounds in stats_filter.items():
+                lo, hi = bounds
+                cs = st.get(col)
+                if not cs:
+                    continue
+                mn, mx = cs[0], cs[1]
+                try:
+                    if lo is not None and mx < lo:
+                        return False
+                    if hi is not None and mn > hi:
+                        return False
+                except TypeError:  # incomparable filter/stat types: keep
+                    continue
+            return True
+
+        return [r for r in rels if keep(r)]
+
     def read(
         self,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         version: int | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
-        """Read a snapshot (optionally pruned to specific buckets).
+        """Read a snapshot (optionally pruned to specific buckets and/or
+        by per-file column statistics — see :meth:`files_for`).
 
         Bucket pruning is the local analog of Iceberg partition pruning:
         a MERGE micro-batch only ever reads the buckets its keys hash to.
         """
         snap = self.snapshot(version)
-        want = snap.buckets if buckets is None else {b: snap.buckets.get(b, []) for b in buckets}
-        files = [os.path.join(self.root, p) for paths in want.values() for p in paths]
+        files = [
+            os.path.join(self.root, p)
+            for p in self.files_for(buckets=buckets, version=version, stats_filter=stats_filter)
+        ]
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
         else:
@@ -241,6 +305,7 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         expected_version: int | None = None,
         properties_fn=None,
+        collect_stats: bool = True,
     ) -> Snapshot:
         """Commit a new snapshot replacing ``replaced_buckets`` with ``df``.
 
@@ -277,6 +342,15 @@ class LakeTable:
         for b, fl in new_files.items():
             buckets[b] = fl
 
+        # Per-file column stats: harvest parquet footer min/max for the
+        # files this commit wrote (driver-local metadata reads, no Spark
+        # job), carry forward surviving files' stats, drop replaced ones.
+        live = {p for fl in buckets.values() for p in fl}
+        file_stats = {p: st for p, st in (base.file_stats or {}).items() if p in live}
+        if collect_stats:
+            written = [p for fl in new_files.values() for p in fl]
+            file_stats.update(_harvest_file_stats(self.root, written, schema))
+
         props = dict(base.properties)
         props.update(properties_update or {})
         if properties_fn is not None:
@@ -297,6 +371,7 @@ class LakeTable:
             buckets=buckets,
             properties=props,
             stats={"rows": None, "committed_at": time.time()},
+            file_stats=file_stats,
         )
         self._write_manifest(snap)
         self._swap_version(snap.version, expected_parent=base.version)
@@ -305,6 +380,53 @@ class LakeTable:
     def with_bucket(self, df: DataFrame) -> DataFrame:
         snap = self.snapshot()
         return df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+
+
+_STATS_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.StringType, T.BooleanType)
+
+
+def _harvest_file_stats(root: str, rel_paths: list[str], schema: T.StructType) -> dict:
+    """Parquet footer min/max per primitive column for freshly written
+    files — driver-local metadata reads (~ms/file), no Spark job. Only
+    JSON-clean types are kept (int/float/str/bool); parquet's truncated
+    string stats remain valid BOUNDS (writers round a truncated max up),
+    so pruning against them is always safe."""
+    import pyarrow.parquet as pq
+
+    prim = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_paths:
+        try:
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            continue
+        colstats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in prim:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except Exception:  # noqa: BLE001
+                        continue
+                nulls = int(st.null_count or 0)
+                prev = colstats.get(name)
+                if prev is None:
+                    colstats[name] = [mn, mx, nulls]
+                else:
+                    colstats[name] = [min(prev[0], mn), max(prev[1], mx), prev[2] + nulls]
+        if colstats:
+            out[rel] = colstats
+    return out
 
 
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
