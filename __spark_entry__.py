@@ -1588,6 +1588,72 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _cdc_schema_evolution(spark, sf_dir):
+    """ALTER TABLE mid-stream under the hash gate: the first micro-batch
+    carries a 2-field after-image, the second adds ``size_bytes`` (the
+    reference's live-ALTER hole, schema_cache.go:21-52 — here the MERGE
+    widens the table schema and null-pads pre-evolution rows). The final
+    state must show nulls exactly for keys whose LWW winner predates the
+    evolution, and values for the rest."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    after_v1 = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    after_v2 = T.StructType(
+        after_v1.fields + [T.StructField("size_bytes", T.LongType())]
+    )
+
+    def log(with_size: bool):
+        after_t = after_v2 if with_size else after_v1
+        fields = [F.col("event_type"), F.col("value").cast("double")]
+        if with_size:
+            fields.append(F.col("event_id").cast("long").alias("size_bytes"))
+        return ev.select(
+            F.col("event_id").cast("long").alias("offset"),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition_id"),
+            F.lit(0).cast("int").alias("seq_in_tx"),
+            _op_expr().alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.when(_op_expr() != "delete", F.struct(*fields)).cast(after_t).alias("after"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_schema_evo_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["user_id"], n_buckets=16)
+    apply_batch(table, log(with_size=False).filter(F.col("offset") < 5000), batch_id=0)
+    apply_batch(table, log(with_size=True).filter(F.col("offset") >= 5000), batch_id=1)
+    return table.read().select(
+        "user_id",
+        "last_offset",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("size_bytes").cast("long").alias("size_bytes"),
+    )
+
+
+_CDC_SCHEMA_EVOLUTION_ORACLE = f"""
+SELECT user_id, event_id AS last_offset, event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       CASE WHEN event_id >= 5000 THEN event_id END::BIGINT AS size_bytes
+FROM (SELECT user_id, event_id, event_type, value, {_OP_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events)
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _lake_snapshot_diff(spark, sf_dir):
     """Incremental lake read: the row-level changelog BETWEEN two snapshots
     (Iceberg CDC-read analog) — events replayed in 2 batches, then
@@ -1781,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake": _cdc_replay_lake,
         "cdc_replay_events": _cdc_replay_events,
         "cdc_replay_split_tx": _cdc_replay_split_tx,
+        "cdc_schema_evolution": _cdc_schema_evolution,
         "lake_snapshot_diff": _lake_snapshot_diff,
         "multimodal_features": _multimodal_features,
         "config_recompute_pipeline": _config_recompute_pipeline,
@@ -1830,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
         "cdc_replay_split_tx": _CDC_REPLAY_SPLIT_TX_ORACLE,
+        "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_replay_lake": _CDC_REPLAY_LAKE_ORACLE,
         "lake_snapshot_diff": _LAKE_DIFF_ORACLE,
         "simhash_near_dups": _simhash_oracle_sql(),
