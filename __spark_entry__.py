@@ -1353,10 +1353,12 @@ def _ivf_kmeans_ann(spark, sf_dir):
 
 def _ivf_kmeans_oracle_sql(
     k: int = 10, n_centroids: int = 16, nprobe: int = 2, sample_mod: int = 4,
-    iters: int = 8, seed: int = 42, dim: int = _EMB_DIM,
+    iters: int = 8, seed: int = 42, dim: int = _EMB_DIM, train_rows: int = 4096,
 ) -> str:
     """Runs the same deterministic k-means the Spark query runs (the
-    driver's oracle pass is pinned to sf0.01) and embeds the centroids."""
+    driver's oracle pass is pinned to sf0.01) and embeds the centroids.
+    The sample mirrors ``kmeans_training_sample`` exactly: every
+    sample_mod-th id, first train_rows in id order."""
     import duckdb as _duck
 
     from binlog_es_go_spark.operators.similarity import kmeans_centroids
@@ -1365,7 +1367,7 @@ def _ivf_kmeans_oracle_sql(
     rows = con.sql(
         "SELECT vec_id, embedding FROM "
         "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
-        f"WHERE vec_id % {sample_mod} = 0 ORDER BY vec_id"
+        f"WHERE vec_id % {sample_mod} = 0 ORDER BY vec_id LIMIT {train_rows}"
     ).fetchall()
     con.close()
     C = kmeans_centroids([r[1] for r in rows], n_centroids, iters, seed)

@@ -25,15 +25,21 @@ through the reverse lookup), with a high seq, so:
 * a recompute wins over a same-offset raw event (source-of-truth state is
   newer than any image inside the batch);
 * real stream partitions' offset bookkeeping is untouched;
-* recompute-vs-recompute ordering is correct across micro-batches even
-  when the source has MULTIPLE stream partitions: offsets from different
-  partitions are not mutually ordered, so a cross-partition batch max
-  would let a later batch dominated by a low-offset partition stamp
-  recomputes BELOW a prior recompute and silently lose the newer
-  source-of-truth state to the LWW guard. Per-key trigger offsets are
-  monotonic as long as the upstream partitions its stream by key (the
-  Kafka/binlog contract); a key that migrates between partitions remains
-  the caller's problem, as it is for any per-partition-offset consumer.
+* recompute-vs-recompute ordering is correct across micro-batches when
+  ALL events affecting a key — the main-table events AND the relatedQuery
+  child events that resolve to it — ride one totally-ordered stream
+  partition: offsets from different partitions are not mutually ordered,
+  so a cross-partition batch max would let a later batch dominated by a
+  low-offset partition stamp recomputes BELOW a prior recompute and
+  silently lose the newer source-of-truth state to the LWW guard.
+  Per-key trigger offsets are monotonic under that single-stream-per-key
+  contract; note that child events are partitioned by the CHILD key, so a
+  parent triggered via children on one partition and via its own events
+  on another can still receive a lower ``_trig_off`` than a prior
+  recompute — deployments with multi-partition related tables should
+  route parent+child tables of one config onto one partition (the
+  reference's single-binlog-stream deployment satisfies this trivially,
+  ``pkg/realtime/loop.go:140-175``).
 """
 
 from __future__ import annotations
@@ -84,6 +90,7 @@ def process_config_batch(
     batch: DataFrame,
     batch_id: int,
     mapper: Callable[[DataFrame], DataFrame] | None = None,
+    main_src: DataFrame | None = None,
 ) -> MergeResult:
     """Apply one mixed-table micro-batch under a SyncTaskConfig.
 
@@ -111,7 +118,11 @@ def process_config_batch(
     flat = flatten_changelog(batch)
     key_cols = cfg.key_cols
     main = flat.filter(F.col("table") == cfg.main_table) if has_table else flat
-    main_src = spark.read.parquet(cfg.main_table_path)
+    if main_src is None:
+        # per-batch fallback; the streaming tail hoists this out of the
+        # loop (a spark.read.parquet is a driver-side listing + schema
+        # resolution — pure serial cost when repeated every micro-batch)
+        main_src = spark.read.parquet(cfg.main_table_path)
 
     # ---- key extraction --------------------------------------------------
     # Every affected key carries ``_trig_off`` = the max offset of the
@@ -131,8 +142,11 @@ def process_config_batch(
         keyed = keyed.unionByName(affected)
     recompute_keys = keyed.groupBy(*key_cols).agg(F.max("_trig_off").alias("_trig_off"))
 
-    if flat.isEmpty():
-        return MergeResult(version=table.snapshot().version, affected_buckets=[])
+    # No driver-side emptiness probe: an empty batch flows through to
+    # apply_batch, whose per-batch metadata scan (the one unavoidable
+    # serial job) comes back empty and short-circuits the MERGE to a
+    # no-op MergeResult — the isEmpty() here was a SECOND serial job paid
+    # by every non-empty batch to save nothing on empty ones.
 
     # ---- batch recompute (the mapping query, flush.go:39) ----------------
     # the key side is small (one micro-batch's distinct keys), so Catalyst
@@ -195,10 +209,29 @@ def start_config_tail(
         raise ValueError(f"invalid config: {problems}")
     table = LakeTable.load(spark, cfg.target_table_path)
     mapper = build_mapper(spark, cfg) if (cfg.enrichments or cfg.transforms) else None
+    # Schema inference hoisted out of the batch loop (footer reads +
+    # several py4j round trips of serial driver time per micro-batch).
+    # The FILE LISTING deliberately stays per-batch: the main table is the
+    # SOURCE OF TRUTH the binlog events describe — it changes between
+    # batches (the reference re-queries MySQL on every flush,
+    # pkg/realtime/flush.go:39), and a DataFrame pinned at stream start
+    # would recompute against a stale snapshot forever.
+    main_schema = (
+        spark.read.parquet(cfg.main_table_path).schema
+        if cfg.main_table_path is not None
+        else None
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            process_config_batch(spark, cfg, table, batch_df, batch_id, mapper=mapper)
+            main_src = (
+                spark.read.schema(main_schema).parquet(cfg.main_table_path)
+                if main_schema is not None
+                else None
+            )
+            process_config_batch(
+                spark, cfg, table, batch_df, batch_id, mapper=mapper, main_src=main_src
+            )
         except Exception as exc:  # noqa: BLE001 — dead-letter boundary
             if on_error is None:
                 raise

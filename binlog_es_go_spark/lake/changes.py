@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from binlog_es_go_spark.lake.merge import ENGINE_COLS
 from binlog_es_go_spark.lake.table import DELETED_COL, LakeTable
 
 # Reserved stream partition for replicated changelogs, alongside
@@ -103,7 +104,7 @@ def snapshot_changes(
     payload_cols = [
         f.name for f in snap.schema.fields
         if f.name not in key_cols
-        and f.name not in ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
+        and f.name not in ENGINE_COLS
     ]
 
     def side(version: int, tag: str, with_payload: bool) -> DataFrame:
@@ -156,7 +157,7 @@ def _empty_changelog(table: LakeTable, version: int) -> DataFrame:
     payload_cols = [
         f.name for f in snap.schema.fields
         if f.name not in key_cols
-        and f.name not in ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
+        and f.name not in ENGINE_COLS
     ]
     df = table.read(buckets=[], version=version)
     return df.select(
@@ -186,9 +187,30 @@ def replicate_changes(
     changelog's partitions. The consumed source version is recorded in the
     target manifest (``replicated_through``) atomically with the commit,
     so an incremental replicator resumes from its own recorded position
-    (scripts/run_pipeline.py --mode replicate)."""
+    (scripts/run_pipeline.py --mode replicate).
+
+    ONE replication source per target, ENFORCED: all replicated events
+    share the single reserved partition (-3), so a second source would
+    interleave its unrelated offset sequence under the same key in
+    ``stream_offsets`` and the two sources would overwrite each other's
+    ``replicated_through`` resume position. The first replication stamps
+    ``replication_source`` in the target manifest; a different source
+    root raises instead of silently corrupting the bookkeeping (fan-IN
+    needs one target table per source; fan-OUT — one source, many
+    replicas — is unrestricted)."""
+    import os as _os
+
     from binlog_es_go_spark.cdc.apply import apply_batch
 
+    src_id = _os.path.abspath(source.root)
+    prev_src = target.snapshot().properties.get("replication_source")
+    if prev_src is not None and prev_src != src_id:
+        raise ValueError(
+            f"target already replicates from {prev_src}; refusing second source "
+            f"{src_id} — replicated offsets and resume positions share one "
+            "reserved partition and would overwrite each other (use one "
+            "target table per replication source)"
+        )
     to_version = source.current_version() if to_version is None else to_version
     changes = snapshot_changes(
         source, from_version, to_version, allow_missing_deletes=allow_missing_deletes
@@ -211,5 +233,5 @@ def replicate_changes(
     )
     return apply_batch(
         target, wrapped, batch_id=batch_id, source="replicate",
-        extra_properties={"replicated_through": to_version},
+        extra_properties={"replicated_through": to_version, "replication_source": src_id},
     )

@@ -311,7 +311,12 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n_blocks: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash hamming distance, blocked by disjoint bit bands.
 
@@ -320,6 +325,17 @@ def simhash_near_dups(
     banded join finds EVERY qualifying pair — which is what lets a plain
     brute-force oracle check this operator exactly. More blocks = shorter
     segment keys = bigger buckets: the standard LSH recall/cost dial.
+
+    ``max_bucket_size`` (OPT-IN, default None = exact) drops band buckets
+    above that size before the self-join. A duplicate-heavy corpus — the
+    normal case at 100 TB — lands identical signatures in one bucket and
+    the join goes quadratic; the cap bounds any bucket's fan-out at
+    max_bucket_size^2. It is deliberately NOT on by default because
+    capping voids the pigeonhole exactness guarantee (pairs whose every
+    shared segment sits in an oversized bucket are missed — typically
+    exact duplicates, which ``dedup_exact`` should have removed first).
+    No silent caps: when set, rows drop only via this documented filter;
+    audit the loss with ``lsh_dropped_buckets`` on the same inputs.
     """
     sh = simhash64(df, text_col, id_col)
     blocks = max(2, min(n_blocks or (max_hamming + 1), 32))
@@ -341,6 +357,10 @@ def simhash_near_dups(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.key")
+    if max_bucket_size is not None:
+        banded = banded.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("blk", "key"))
+        ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=["blk", "key"])
@@ -400,6 +420,18 @@ def fingerprint_overlap(
     )
 
 
+def lsh_dropped_buckets(bucketed: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """Audit companion for the LSH skew caps: the buckets a given
+    ``max_bucket_size`` would drop, with their sizes. Run it on the same
+    bucketed/banded frame to quantify (and log) what a cap costs before
+    turning it on — the "no silent caps" rule made queryable."""
+    return (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,
@@ -408,6 +440,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH + exact verify.
 
@@ -415,6 +448,14 @@ def embedding_near_dups(
     only same-bucket pairs get the exact cosine. Planes are generated
     driver-side (numpy, seeded) and folded into the plan as literals.
     Pass ``dim`` when known to skip the probe job.
+
+    ``max_bucket_size`` (DEFAULT ON) drops sign-pattern buckets larger
+    than the cap before the self-join: identical/near-identical embeddings
+    (duplicate-heavy corpora — the normal case at scale) all share one
+    bucket, whose join otherwise emits bucket_size^2 rows. The operator is
+    approximate by construction, so a bounded-recall cap is the right
+    default here (unlike simhash's exactness guarantee); pass None for the
+    uncapped behavior and ``lsh_dropped_buckets`` to audit the loss.
     """
     import numpy as np
 
@@ -437,6 +478,10 @@ def embedding_near_dups(
     bucketed = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), bucket_bits().alias("bkt")
     )
+    if max_bucket_size is not None:
+        bucketed = bucketed.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("bkt"))
+        ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

@@ -159,6 +159,32 @@ def _centroid_dots(vec_col: str, centroids) -> Column:
     return F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids])
 
 
+def kmeans_training_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sample_mod: int = 4,
+    train_rows: int = 4096,
+) -> list:
+    """Deterministic, BOUNDED k-means training sample: every
+    ``sample_mod``-th row by id, the first ``train_rows`` of them in id
+    order. ``orderBy + limit`` plans as TakeOrderedAndProject — a
+    distributed partial top-N — so the driver receives at most
+    ``train_rows`` rows NO MATTER how large the corpus is (the unbounded
+    1/sample_mod collect was the one driver-side scale bottleneck in the
+    ANN ladder). Determinism: ids are unique, the order is total, and the
+    same (sample_mod, train_rows) reproduces the same sample on any
+    engine — the SQL oracle mirrors it with ORDER BY id LIMIT n."""
+    rows = (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(int(train_rows))
+        .collect()
+    )
+    return [r[vec_col] for r in rows]
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -172,11 +198,14 @@ def ivf_kmeans_topk(
     iters: int = 8,
     seed: int = 42,
     centroids=None,
+    train_rows: int = 4096,
 ) -> DataFrame:
     """Real IVF: sampled k-means centroids -> inverted lists -> multi-probe.
 
-    Train: every ``sample_mod``-th row by id (deterministic, engine-
-    neutral) is collected and spherical k-means runs on the driver — the
+    Train: every ``sample_mod``-th row by id, capped at a FIXED
+    ``train_rows`` budget (deterministic, engine-neutral; see
+    ``kmeans_training_sample`` — the collect is O(train_rows) regardless
+    of corpus size), and spherical k-means runs on the driver — the
     classic IVF recipe (sample -> train -> broadcast), no iterative
     distributed job. Index: each corpus row joins the inverted list of its
     max-dot centroid. Search: each query probes its ``nprobe`` nearest
@@ -191,13 +220,8 @@ def ivf_kmeans_topk(
     Pass ``centroids`` to skip training (e.g. reuse across queries).
     """
     if centroids is None:
-        rows = (
-            corpus.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        rows.sort(key=lambda r: r[id_col])
-        centroids = kmeans_centroids([r[vec_col] for r in rows], n_centroids, iters, seed)
+        vectors = kmeans_training_sample(corpus, vec_col, id_col, sample_mod, train_rows)
+        centroids = kmeans_centroids(vectors, n_centroids, iters, seed)
     n_c = len(centroids)
     nprobe = min(nprobe, n_c)
 

@@ -51,6 +51,9 @@ def main() -> int:
                     help="expire-snapshots: never delete commit dirs younger than this")
     ap.add_argument("--replica", help="replicate: target lake table root")
     ap.add_argument("--from-version", type=int, default=None, help="replicate: source version floor")
+    ap.add_argument("--allow-missing-deletes", action="store_true",
+                    help="replicate: accept a diff that spans a tombstone GC "
+                         "(insert/update-only semantics for the GC'd range)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -116,22 +119,35 @@ def main() -> int:
             src_snap = table.snapshot()
             user_fields = [
                 f for f in src_snap.schema.fields
-                if f.name not in ("last_offset", "last_seq", "last_op", "_deleted", "updated_at")
+                if f.name not in ("last_offset", "last_seq", "last_op", "_deleted", "updated_at", "_khash")
             ]
             from pyspark.sql import types as T
 
             LakeTable.create(spark, args.replica, T.StructType(user_fields),
                              key_cols=src_snap.key_cols, n_buckets=src_snap.n_buckets)
         replica = LakeTable.load(spark, args.replica)
+        replicated_through = replica.snapshot().properties.get("replicated_through")
+        fresh = replicated_through is None  # nothing replicated yet
         from_v = args.from_version
         if from_v is None:
             # resume from the replica's own recorded position
-            from_v = int(replica.snapshot().properties.get("replicated_through", 0))
+            from_v = int(replicated_through or 0)
+        elif fresh and from_v > 0:
+            # a fresh replica diffed from v>0 would silently miss every key
+            # whose last change predates from_v — an incomplete replica
+            ap.error(f"--from-version {from_v} on a fresh replica would build an "
+                     "incomplete replica; omit it (first sync must diff from v0)")
+        # A v0 diff into an empty replica is safe even across a tombstone
+        # GC: a GC'd delete is a key invisible on BOTH sides, so nothing is
+        # missed — auto-allow instead of failing first-time replication of
+        # a compacted source with TombstoneRetentionError.
+        allow_missing = args.allow_missing_deletes or (fresh and from_v == 0)
         to_v = table.current_version()
         if to_v <= from_v:
             print(f"replica up to date (source v{to_v})")
             return 0
-        res = replicate_changes(table, replica, from_v, to_v)
+        res = replicate_changes(table, replica, from_v, to_v,
+                                allow_missing_deletes=allow_missing)
         print(f"replicated v{from_v}..v{to_v} -> replica v{res.version}")
         return 0
 

@@ -137,3 +137,65 @@ def test_cli_maintenance_and_replication(spark, tmp_path):
     r = _run(["--mode", "replicate", "--target", target, "--key-cols", "id",
               "--replica", replica])
     assert r.returncode == 0 and "up to date" in r.stdout, r.stdout + r.stderr[-2000:]
+
+
+def test_cli_replicate_fresh_replica_of_gcd_source(spark, tmp_path):
+    """First-time replication of a source that already ran a tombstone GC
+    must succeed: a v0 diff into an empty replica cannot miss anything (a
+    GC'd delete is a key invisible on both sides). And --from-version > 0
+    on a fresh replica is rejected instead of silently building an
+    incomplete replica."""
+    from binlog_es_go_spark.cdc.apply import apply_batch, applied_offsets
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.changes import GC_VERSION_PROP
+    from binlog_es_go_spark.lake.maintenance import compact
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField(n, T.StringType())
+                            for n in ["repo", "path", "commit", "lang", "content"]])
+    src_root = str(tmp_path / "gsrc")
+    src = LakeTable.create(spark, src_root, payload, key_cols=["repo", "path"], n_buckets=4)
+    log = generate_changelog(spark, 1500, n_repos=10, paths_per_repo=8, seed=33)
+    apply_batch(src, log, batch_id=0)
+    wm = min(applied_offsets(src).values())
+    compact(src, drop_tombstones_below=wm + 1)
+    assert int(src.snapshot().properties.get(GC_VERSION_PROP, -1)) >= 0, "GC watermark recorded"
+
+    replica = str(tmp_path / "grep")
+    r = _run(["--mode", "replicate", "--target", src_root, "--key-cols", "repo,path",
+              "--replica", replica])
+    assert r.returncode == 0 and "replicated v0..v" in r.stdout, r.stdout + r.stderr[-2000:]
+    rep = LakeTable.load(spark, replica)
+    assert rep.read().count() == src.read().count()
+
+    r = _run(["--mode", "replicate", "--target", src_root, "--key-cols", "repo,path",
+              "--replica", str(tmp_path / "grep2"), "--from-version", "1"])
+    assert r.returncode != 0 and "incomplete replica" in (r.stdout + r.stderr)
+
+
+def test_replicate_rejects_second_source(spark, tmp_path):
+    """stream_offsets / replicated_through share one reserved partition:
+    a second replication source into the same target must raise, not
+    silently interleave bookkeeping."""
+    import pytest
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.changes import replicate_changes
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField(n, T.StringType())
+                            for n in ["repo", "path", "commit", "lang", "content"]])
+    log = generate_changelog(spark, 800, n_repos=8, paths_per_repo=6, seed=11)
+    s1 = LakeTable.create(spark, str(tmp_path / "s1"), payload, key_cols=["repo", "path"], n_buckets=4)
+    s2 = LakeTable.create(spark, str(tmp_path / "s2"), payload, key_cols=["repo", "path"], n_buckets=4)
+    apply_batch(s1, log.filter(F.col("offset") < 400), batch_id=0)
+    apply_batch(s2, log.filter(F.col("offset") >= 400), batch_id=0)
+    dst = LakeTable.create(spark, str(tmp_path / "d"), payload, key_cols=["repo", "path"], n_buckets=4)
+
+    replicate_changes(s1, dst, 0)
+    with pytest.raises(ValueError, match="refusing second source"):
+        replicate_changes(s2, dst, 0)
+    # same source again is fine (incremental resume)
+    apply_batch(s1, log.filter(F.col("offset") >= 400), batch_id=1)
+    replicate_changes(s1, dst, int(dst.snapshot().properties["replicated_through"]))

@@ -473,3 +473,63 @@ def test_exact_duplicates_group_cap(spark):
     assert by_n[2] == [1000, 1001], "small groups unaffected"
     full = exact_duplicates(df, "text", "doc_id", max_ids_per_group=None).collect()
     assert {r["n_dups"]: len(r["doc_ids"]) for r in full} == {500: 500, 2: 2}
+
+
+def test_kmeans_training_sample_bounded_as_corpus_grows(spark):
+    """The IVF training collect must be O(train_rows), not O(corpus):
+    growing the corpus 10x leaves the collected sample size constant
+    (and the sample itself a deterministic prefix of the larger one)."""
+    from binlog_es_go_spark.operators.similarity import kmeans_training_sample
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+        )
+
+    small = kmeans_training_sample(corpus(400), "embedding", "vec_id", sample_mod=2, train_rows=64)
+    big = kmeans_training_sample(corpus(4000), "embedding", "vec_id", sample_mod=2, train_rows=64)
+    assert len(small) == 64 and len(big) == 64, "collect bounded by train_rows"
+    assert small == big, "same deterministic id-ordered prefix at both scales"
+    under = kmeans_training_sample(corpus(40), "embedding", "vec_id", sample_mod=2, train_rows=64)
+    assert len(under) == 20, "smaller corpora just yield their full sample"
+
+
+def test_simhash_bucket_cap_bounds_adversarial_corpus(spark):
+    """2,000 identical docs share every band bucket; uncapped, the banded
+    self-join would emit ~4M pairs per band. The opt-in cap drops the
+    degenerate buckets (bounded candidates) while a distinct near-dup
+    pair in small buckets is still found."""
+    rows = [(i, "the same boilerplate sentence repeated") for i in range(2000)]
+    # known near-dup pair (md5-bit hamming 12, see test_simhash_near_dups)
+    rows += [(9000, "the quick brown fox jumps over the lazy dog " * 3),
+             (9001, "the quick brown fox jumps over the lazy cat " * 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = simhash_near_dups(df, "text", "doc_id", max_hamming=12, max_bucket_size=100)
+    got = capped.collect()
+    assert len(got) <= 10, f"candidates must stay bounded, got {len(got)}"
+    assert {(r["id_a"], r["id_b"]) for r in got} >= {(9000, 9001)}, "small-bucket pair survives"
+
+
+def test_embedding_lsh_bucket_cap_default_on(spark):
+    """Identical embeddings all land in one sign bucket: the default cap
+    drops it (bounded join) and lsh_dropped_buckets reports the loss."""
+    from binlog_es_go_spark.operators.dedup import lsh_dropped_buckets
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(1500)]
+    rows += [(9000, [-1.0, -2.0, -3.0, -4.0]), (9001, [-1.0, -2.0, -3.1, -4.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_near_dups(df, "embedding", "vec_id", threshold=0.9, n_planes=8, dim=4).collect()
+    assert len(got) <= 5, f"default cap must bound the join, got {len(got)} pairs"
+    assert {(r["id_a"], r["id_b"]) for r in got} >= {(9000, 9001)}
+
+    # audit companion quantifies exactly what the cap dropped
+    bucketed = df.select("vec_id", F.lit("x").alias("bkt"))  # degenerate: all one bucket
+    dropped = lsh_dropped_buckets(bucketed, ["bkt"], max_bucket_size=1000).collect()
+    assert len(dropped) == 1 and dropped[0]["bucket_size"] == 1502
+
+    uncapped = embedding_near_dups(
+        df.filter(F.col("vec_id") >= 1400), "embedding", "vec_id",
+        threshold=0.9, n_planes=8, dim=4, max_bucket_size=None,
+    )
+    assert uncapped.count() >= 1, "None disables the cap (legacy exact behavior)"
