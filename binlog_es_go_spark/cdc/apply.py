@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binlog_es_go_spark.cdc.events import flatten_changelog
-from binlog_es_go_spark.lake.merge import MergeResult, dedup_last_writer, merge_into
+from binlog_es_go_spark.lake.merge import (
+    KEY_PRUNE_CAP,
+    BatchKeyInfo,
+    MergeResult,
+    dedup_last_writer,
+    merge_into,
+)
 from binlog_es_go_spark.lake.table import LakeTable
 
 OFFSETS_PROP = "stream_offsets"  # properties key: {partition_id: max offset applied}
@@ -36,21 +42,54 @@ def partition_offsets(changelog: DataFrame) -> dict[str, int]:
     return {str(r["partition_id"]): int(r["mx"]) for r in rows}
 
 
-def _batch_metadata(flat: DataFrame, key_cols: list[str], n_buckets: int) -> tuple[dict[str, int], list[int]]:
-    """Per-partition max offsets AND affected buckets in ONE column-pruned
-    scan — metadata jobs are a serial cost per micro-batch, so they are
-    folded together (8 groups x small sets collected to the driver)."""
-    from binlog_es_go_spark.lake.table import bucket_expr
+def _batch_metadata(
+    flat: DataFrame, key_cols: list[str], n_buckets: int
+) -> tuple[dict[str, int], list[int], dict[int, BatchKeyInfo]]:
+    """Per-partition max offsets, affected buckets, AND the per-bucket
+    batch key-hash sets (file-granular COW pruning input) in ONE
+    column-pruned scan — metadata jobs are a serial cost per micro-batch,
+    so they are folded together. Grouped by (partition, bucket): at most
+    n_partitions x n_buckets rows, each carrying <= KEY_PRUNE_CAP+1
+    hashes, so the driver transfer stays bounded regardless of batch
+    size; a bucket whose merged set overflows the cap degrades to its
+    [lo, hi] range (still conservative-correct for pruning)."""
+    from binlog_es_go_spark.lake.table import khash_expr
 
     rows = (
-        flat.select("partition_id", "offset", bucket_expr(key_cols, n_buckets).alias("_b"))
-        .groupBy("partition_id")
-        .agg(F.max("offset").alias("mx"), F.collect_set("_b").alias("buckets"))
+        flat.select("partition_id", "offset", khash_expr(key_cols).alias("_kh"))
+        .withColumn("_b", F.pmod(F.col("_kh"), F.lit(n_buckets)).cast("int"))
+        .groupBy("partition_id", "_b")
+        .agg(
+            F.max("offset").alias("mx"),
+            F.slice(F.sort_array(F.collect_set("_kh")), 1, KEY_PRUNE_CAP + 1).alias("khs"),
+            F.min("_kh").alias("lo"),
+            F.max("_kh").alias("hi"),
+        )
         .collect()
     )
-    offs = {str(r["partition_id"]): int(r["mx"]) for r in rows}
-    buckets = sorted({b for r in rows for b in r["buckets"]})
-    return offs, buckets
+    offs: dict[str, int] = {}
+    acc: dict[int, list] = {}  # bucket -> [set | None, lo, hi]
+    for r in rows:
+        p = str(r["partition_id"])
+        offs[p] = max(offs.get(p, -(1 << 62)), int(r["mx"]))
+        b = int(r["_b"])
+        cur = acc.setdefault(b, [set(), int(r["lo"]), int(r["hi"])])
+        cur[1] = min(cur[1], int(r["lo"]))
+        cur[2] = max(cur[2], int(r["hi"]))
+        if cur[0] is not None:
+            if len(r["khs"]) > KEY_PRUNE_CAP:
+                cur[0] = None
+            else:
+                cur[0].update(r["khs"])
+                if len(cur[0]) > KEY_PRUNE_CAP:
+                    cur[0] = None
+    kinfo = {
+        b: BatchKeyInfo(
+            khashes=sorted(s) if s is not None else None, lo=lo, hi=hi
+        )
+        for b, (s, lo, hi) in acc.items()
+    }
+    return offs, sorted(acc), kinfo
 
 
 def apply_batch(
@@ -90,13 +129,15 @@ def apply_batch(
 
     obs = None
     offs: dict[str, int] = {}
+    kinfo = None
     if affected_buckets is not None and precomputed_offsets is not None:
         offs, buckets = dict(precomputed_offsets), list(affected_buckets)
     elif prune_buckets:
         # incremental tail: a micro-batch touches few buckets — discover
-        # them (plus per-partition offsets) in one column-pruned scan so
+        # them (plus per-partition offsets and the per-bucket key-hash
+        # sets that drive file-granular COW) in one column-pruned scan so
         # the MERGE reads O(batch) target files, not O(table)
-        offs, buckets = _batch_metadata(flat, snap.key_cols, snap.n_buckets)
+        offs, buckets, kinfo = _batch_metadata(flat, snap.key_cols, snap.n_buckets)
     else:
         # bulk replay/bootstrap: batches touch ~every bucket, so bucket
         # discovery is pure serial overhead — rewrite all buckets
@@ -167,6 +208,7 @@ def apply_batch(
         affected_buckets=buckets,
         salt_partitions=salt_partitions,
         properties_fn=props_after_write,
+        bucket_khashes=kinfo,
     )
     result.wall_sec = time.time() - t0
     return result
@@ -197,9 +239,13 @@ def replay_changelog(
 
     snap = table.snapshot()
     flat = flatten_changelog(changelog)
-    batch = F.lit(0)
-    for b in boundaries:
-        batch = batch + (F.col("offset") >= F.lit(int(b))).cast("int")
+    # batch id = how many boundaries the offset has passed. ONE shallow
+    # array expression (a flat array literal + filter + size), not a chain
+    # of K additive comparisons: the chained form built a K-deep expression
+    # tree whose analysis/codegen cost degenerates around K~10^4, while
+    # this stays a single node with O(K) vectorized comparisons per row.
+    bounds_lit = F.lit([int(b) for b in boundaries])
+    batch = F.size(F.filter(bounds_lit, lambda b: F.col("offset") >= b))
     rows = (
         flat.select(
             batch.alias("_batch"), "partition_id", "offset",

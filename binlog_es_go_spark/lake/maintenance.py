@@ -51,7 +51,18 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
         df = df.filter(~garbage)
     df = table.with_bucket(df)
     n_parts = max(snap.n_buckets * target_files_per_bucket, 1)
-    out = df.repartition(n_parts, F.col("_bucket"))
+    # Split each bucket by key-hash RANGE (not hash-of-hash): with the
+    # khash-local sort in write_buckets, each compacted file covers a
+    # tight disjoint _khash range, so post-compaction merges can prune at
+    # file granularity (merge.py file-granular COW). A plain
+    # repartition(_bucket) would put the whole bucket in one task and
+    # make target_files_per_bucket>1 a no-op.
+    from binlog_es_go_spark.lake.table import khash_expr
+
+    k = max(1, target_files_per_bucket)
+    span = -(-(1 << 32) // k)
+    grp = F.floor(khash_expr(snap.key_cols) / F.lit(span)).cast("int")
+    out = df.repartition(n_parts, F.col("_bucket"), grp)
 
     def props_after_write(base_props: dict) -> dict:
         upd: dict = {"last_compaction_version": snap.version}
@@ -68,6 +79,7 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
         replaced_buckets=list(range(snap.n_buckets)),
         expected_version=snap.version,
         properties_fn=props_after_write,
+        n_write_groups=k,
     )
     return new_snap.version
 

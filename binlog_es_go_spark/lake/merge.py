@@ -55,6 +55,7 @@ tuning knob, same math).
 
 from __future__ import annotations
 
+import bisect
 import time
 from dataclasses import dataclass
 
@@ -65,10 +66,12 @@ from pyspark.sql import types as T
 from binlog_es_go_spark.lake.table import (
     BUCKET_COL,
     DELETED_COL,
+    KHASH_COL,
     CommitConflict,
     LakeTable,
     align_to_schema,
     bucket_expr,
+    khash_expr,
     merge_schemas,
 )
 
@@ -76,7 +79,32 @@ OFFSET_COL = "offset"
 OP_COL = "op"
 SEQ_COL = "seq_in_tx"
 TS_COL = "ts"
-ENGINE_COLS = ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at")
+ENGINE_COLS = ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at", KHASH_COL)
+
+# Per-bucket cap on the exact batch-key-hash set shipped to the driver for
+# file pruning: above it, pruning falls back to the [lo, hi] range. Bounds
+# the driver transfer at n_buckets * (cap+1) longs regardless of batch size.
+KEY_PRUNE_CAP = 1024
+
+
+@dataclass
+class BatchKeyInfo:
+    """Which key hashes a batch touches within one bucket — the driver-side
+    handle for file-granular COW. ``khashes``: the exact sorted distinct
+    crc32 set when it fit under KEY_PRUNE_CAP, else None (use [lo, hi])."""
+
+    khashes: list[int] | None
+    lo: int
+    hi: int
+
+    def may_hit(self, file_min: int, file_max: int) -> bool:
+        """Could this batch touch a file whose stored _khash range is
+        [file_min, file_max]? Conservative: False ONLY when provably
+        disjoint."""
+        if self.khashes is not None:
+            i = bisect.bisect_left(self.khashes, file_min)
+            return i < len(self.khashes) and self.khashes[i] <= file_max
+        return not (self.hi < file_min or self.lo > file_max)
 
 
 @dataclass
@@ -85,6 +113,8 @@ class MergeResult:
     affected_buckets: list[int]
     source_rows: int | None = None
     wall_sec: float | None = None
+    rewritten_files: int | None = None
+    carried_files: int | None = None
 
 
 def dedup_last_writer(
@@ -121,6 +151,7 @@ def merge_into(
     already_deduped: bool = False,
     affected_buckets: list[int] | None = None,
     properties_fn=None,
+    bucket_khashes: dict[int, BatchKeyInfo] | None = None,
 ) -> MergeResult:
     """Apply a changelog micro-batch to ``table`` (see module docstring).
 
@@ -139,7 +170,7 @@ def merge_into(
             return _merge_once(
                 table, source, offset_col, op_col, seq_col, ts_col,
                 properties_update, salt_partitions, already_deduped, affected_buckets,
-                properties_fn,
+                properties_fn, bucket_khashes,
             )
         except CommitConflict:
             # Optimistic-concurrency retry: re-read the new snapshot and
@@ -164,6 +195,7 @@ def _merge_once(
     already_deduped: bool,
     affected_buckets: list[int] | None = None,
     properties_fn=None,
+    bucket_khashes: dict[int, BatchKeyInfo] | None = None,
 ) -> MergeResult:
     snap = table.snapshot()
     key_cols = snap.key_cols
@@ -185,13 +217,62 @@ def _merge_once(
 
     # Affected-bucket discovery: at most n_buckets ints — a safe collect.
     # Callers that already know the set (the apply core computes it in the
-    # same scan as partition offsets) pass it in to save a job.
+    # same scan as partition offsets) pass it in — with per-bucket key-hash
+    # info when they have it — to save a job. The self-computed job gathers
+    # both in ONE pass: the distinct buckets AND, per bucket, the batch's
+    # distinct key hashes (capped at KEY_PRUNE_CAP; overflow degrades to a
+    # [lo, hi] range), which drive file-granular COW below.
+    kinfo: dict[int, BatchKeyInfo] = bucket_khashes or {}
     if affected_buckets is not None:
         affected = list(affected_buckets)
     else:
-        affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        rows = (
+            src.select(BUCKET_COL, khash_expr(key_cols).alias(KHASH_COL))
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.slice(F.sort_array(F.collect_set(KHASH_COL)), 1, KEY_PRUNE_CAP + 1).alias("khs"),
+                F.min(KHASH_COL).alias("lo"),
+                F.max(KHASH_COL).alias("hi"),
+            )
+            .collect()
+        )
+        affected = [int(r[BUCKET_COL]) for r in rows]
+        kinfo = {
+            int(r[BUCKET_COL]): BatchKeyInfo(
+                khashes=list(r["khs"]) if len(r["khs"]) <= KEY_PRUNE_CAP else None,
+                lo=int(r["lo"]),
+                hi=int(r["hi"]),
+            )
+            for r in rows
+        }
     if not affected:
         return MergeResult(version=snap.version, affected_buckets=[])
+
+    # File-granular copy-on-write: within each affected bucket, REWRITE
+    # only files whose stored _khash range (manifest file_stats, tight
+    # because writes are khash-sorted) can contain a batch key; CARRY the
+    # rest forward untouched. Files without stats — pre-khash data, failed
+    # harvest — conservatively rewrite. At 100 TB this turns "one hot key
+    # costs a full-bucket rewrite" into "one hot key costs one file" (the
+    # lake analog of the reference's row-level upsert,
+    # pkg/es/writer.go:156-193).
+    fstats = snap.file_stats or {}
+    overlap_files: list[str] = []
+    carry_map: dict[int, list[str]] = {}
+    rewritten = carried = 0
+    for b in affected:
+        info = kinfo.get(b)
+        for rel in snap.buckets.get(b, []):
+            st = fstats.get(rel, {}).get(KHASH_COL)
+            hit = True
+            if info is not None and st and st[0] is not None and st[1] is not None and not st[2]:
+                hit = info.may_hit(int(st[0]), int(st[1]))
+            if hit:
+                overlap_files.append(rel)
+                rewritten += 1
+            else:
+                carry_map.setdefault(b, []).append(rel)
+                carried += 1
 
     # Schema evolution: new payload columns widen the table schema.
     incoming = T.StructType(
@@ -230,7 +311,10 @@ def _merge_once(
     )
 
     # Tombstones included: they hold the offset guard for their key.
-    target = table.read(buckets=affected, include_deleted=True)
+    # Only the overlap files are read: a batch key can never live in a
+    # carried file (pruning is conservative), so the window below still
+    # sees every guard row that matters.
+    target = table.read(files=overlap_files, include_deleted=True)
     target = align_to_schema(target, new_schema)
     tgt_norm = (
         target.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
@@ -263,33 +347,30 @@ def _merge_once(
         .drop("_rn", "_is_target")
     )
 
-    # No repartition before the write: the window already leaves winners
-    # hash-distributed BY KEY, which spreads a hot bucket's keys evenly
-    # across all write tasks — the round-1 (bucket, salt) repartition
-    # re-shuffled the entire rewrite set a second time to achieve the same
-    # spread (measured: the second exchange was ~1/3 of replay wall at 5M
-    # events). ``salt_partitions`` still bounds write tasks (files per
-    # commit) via coalesce — a narrow dependency, not a shuffle.
-    # Write layout: repartition winners by (bucket, crc32(key) % n_out).
-    # Because bucket = crc32(key) % n_buckets, the salt is modular-
-    # arithmetic-aligned with the bucket: when n_out == n_buckets it
-    # degenerates to bucket-identity (ONE file per bucket per commit),
-    # and when n_out = k*n_buckets it splits every bucket into exactly k
-    # write groups (crc%kN determines crc%N) — hot buckets spread k ways,
-    # files per commit bounded at n_buckets*k. Round-3 measurements at 5M
-    # events, local[8], pinned the alternatives: dropping this exchange
-    # and writing the key-hash-distributed window output directly
-    # explodes into n_tasks*n_buckets files (4096 vs 64) and runs 3x
-    # slower; replacing window+WindowGroupLimit with max_by(struct(row))
-    # loses the map-side partial top-1 to a sort-agg fallback, also 3x
-    # slower. Two exchanges — the second carrying only deduped winners —
-    # plus a bucket-aligned write is the measured-fast shape.
+    # Write layout: repartition winners by (bucket, khash RANGE group).
+    # The group is floor(crc32(key) / ceil(2^32 / k)) with k = n_out /
+    # n_buckets: when n_out == n_buckets every bucket is ONE write group
+    # (one file per bucket per commit), and when n_out = k*n_buckets each
+    # bucket splits into k groups — same task/file bounds as the round-3
+    # modular salt (crc32 is uniform, so range groups load-balance exactly
+    # as well), but each group covers a CONTIGUOUS key-hash range, so
+    # combined with the khash-local sort in write_buckets every data file
+    # gets a tight, DISJOINT min/max in the manifest — which is what makes
+    # the next merge's file-granular pruning selective. Round-3
+    # measurements at 5M events, local[8], pinned the alternatives:
+    # dropping this exchange and writing the key-hash-distributed window
+    # output directly explodes into n_tasks*n_buckets files (4096 vs 64)
+    # and runs 3x slower; replacing window+WindowGroupLimit with
+    # max_by(struct(row)) loses the map-side partial top-1 to a sort-agg
+    # fallback, also 3x slower. Two exchanges — the second carrying only
+    # deduped winners — plus a bucket-aligned write is the measured-fast
+    # shape.
     n_out = salt_partitions or table.spark.sparkContext.defaultParallelism
-    salt = F.pmod(
-        F.crc32(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])),
-        F.lit(max(1, n_out)),
-    )
-    winners = winners.repartition(max(1, n_out), F.col(BUCKET_COL), salt)
+    k_groups = max(1, n_out // max(1, snap.n_buckets))
+    span = -(-(1 << 32) // k_groups)  # ceil(2^32 / k)
+    winners = winners.withColumn(KHASH_COL, khash_expr(key_cols))
+    grp = F.floor(F.col(KHASH_COL) / F.lit(span)).cast("int")
+    winners = winners.repartition(max(1, n_out), F.col(BUCKET_COL), grp)
 
     new_snap = table.write_buckets(
         winners,
@@ -298,8 +379,15 @@ def _merge_once(
         properties_update=properties_update,
         expected_version=snap.version,
         properties_fn=properties_fn,
+        carry_files=carry_map,
+        n_write_groups=k_groups,
     )
-    return MergeResult(version=new_snap.version, affected_buckets=sorted(affected))
+    return MergeResult(
+        version=new_snap.version,
+        affected_buckets=sorted(affected),
+        rewritten_files=rewritten,
+        carried_files=carried,
+    )
 
 
 def align_union(a: DataFrame, b: DataFrame, schema: T.StructType) -> DataFrame:

@@ -46,6 +46,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
+# Stored key-hash column: crc32 of the unit-separated key (the same hash
+# the bucket id is the modulus of). Written sorted within each data file,
+# so the parquet footer min/max harvested into the manifest's file_stats
+# gives every file a tight key-hash RANGE — the handle for file-granular
+# copy-on-write (merge.py prunes a bucket's files to the ones whose range
+# can contain a batch key) and for key-value data skipping generally.
+KHASH_COL = "_khash"
 DELETED_COL = "_deleted"
 # Unit separator: never appears in keys, so concat_ws is injective.
 KEY_SEP = "\x1f"
@@ -55,8 +62,8 @@ class CommitConflict(Exception):
     """Another writer committed first; caller should re-read and retry."""
 
 
-def bucket_expr(key_cols: list[str], n_buckets: int):
-    """Bucket id for a row: crc32 of the unit-separated key columns.
+def khash_expr(key_cols: list[str]):
+    """crc32 of the unit-separated key columns — the stored ``_khash``.
 
     crc32 is a JVM builtin (whole-stage codegen, no Python), and CRC-32/IEEE
     matches the reference's default shard strategy ``crc32_ieee_uint32``
@@ -64,7 +71,12 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     cross-language — validated against the README golden vectors in tests.
     """
     key = F.concat_ws(KEY_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])
-    return F.pmod(F.crc32(key), F.lit(n_buckets)).cast("int")
+    return F.crc32(key)
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Bucket id for a row: ``khash_expr`` mod the bucket count."""
+    return F.pmod(khash_expr(key_cols), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -148,6 +160,7 @@ class LakeTable:
             ("last_op", T.StringType()),
             (DELETED_COL, T.BooleanType()),
             ("updated_at", T.TimestampType()),
+            (KHASH_COL, T.LongType()),
         ]:
             if name not in names:
                 fields.append(T.StructField(name, typ, True))
@@ -270,18 +283,24 @@ class LakeTable:
         include_deleted: bool = False,
         version: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        files: list[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally pruned to specific buckets and/or
         by per-file column statistics — see :meth:`files_for`).
 
         Bucket pruning is the local analog of Iceberg partition pruning:
         a MERGE micro-batch only ever reads the buckets its keys hash to.
+        ``files`` (relative paths from the snapshot's own listing)
+        overrides bucket/stats pruning entirely — the file-granular COW
+        read path, where merge.py has already picked the exact overlap set.
         """
         snap = self.snapshot(version)
-        files = [
-            os.path.join(self.root, p)
-            for p in self.files_for(buckets=buckets, version=version, stats_filter=stats_filter)
-        ]
+        rels = (
+            list(files)
+            if files is not None
+            else self.files_for(buckets=buckets, version=version, stats_filter=stats_filter)
+        )
+        files = [os.path.join(self.root, p) for p in rels]
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
         else:
@@ -306,22 +325,56 @@ class LakeTable:
         expected_version: int | None = None,
         properties_fn=None,
         collect_stats: bool = True,
+        carry_files: dict[int, list[str]] | None = None,
+        n_write_groups: int = 1,
     ) -> Snapshot:
         """Commit a new snapshot replacing ``replaced_buckets`` with ``df``.
 
         ``df`` must already carry ``_bucket`` and contain only rows whose
-        bucket is in ``replaced_buckets``. Unchanged buckets keep their old
-        files — copy-on-write at bucket granularity.
+        bucket is in ``replaced_buckets``.
+
+        ``carry_files``: per replaced bucket, EXISTING files to carry into
+        the new snapshot alongside the freshly written ones — the
+        file-granular copy-on-write handle: a MERGE rewrites only the
+        files whose key-hash range overlaps its batch and carries the rest
+        forward untouched (their manifest stats carry too). Without it,
+        replacement is whole-bucket (the pre-round-4 behavior). Callers
+        guarantee no key in ``df`` lives in a carried file — merge.py's
+        pruning is conservative, so any file that COULD hold a batch key
+        is rewritten, never carried.
+
+        Every write (re)computes ``_khash`` from the key columns — never
+        trusted from the input — and locally sorts each write partition by
+        (bucket, _khash) so each data file covers a tight, harvestable
+        key-hash range (a narrow-dependency sort, no shuffle; the
+        clustering is what makes carry/rewrite pruning selective).
+
+        ``n_write_groups`` > 1 splits each bucket's output into that many
+        key-hash RANGE files (group = floor(_khash / ceil(2^32/k)),
+        directory-encoded so two groups sharing a shuffle task still land
+        in separate files with DISJOINT manifest ranges). Callers align
+        their repartition to the same expression so each group is one
+        task's worth of rows.
         """
         base = self.snapshot(expected_version)
         schema = new_schema or base.schema
+        if not any(f.name == KHASH_COL for f in schema.fields):
+            # auto-migrate pre-khash tables on their next commit
+            schema = T.StructType([*schema.fields, T.StructField(KHASH_COL, T.LongType(), True)])
         commit_id = uuid.uuid4().hex
         rel_dir = os.path.join("data", commit_id)
         out_dir = os.path.join(self.root, rel_dir)
 
         ordered = [f.name for f in schema.fields]
-        out = align_to_schema(df, schema).select(BUCKET_COL, *ordered)
-        out.write.partitionBy(BUCKET_COL).parquet(out_dir, mode="errorifexists")
+        out = df.withColumn(KHASH_COL, khash_expr(base.key_cols))
+        out = align_to_schema(out, schema).select(BUCKET_COL, *ordered)
+        part_cols = [BUCKET_COL]
+        if n_write_groups > 1:
+            span = -(-(1 << 32) // n_write_groups)
+            out = out.withColumn("_wg", F.floor(F.col(KHASH_COL) / F.lit(span)).cast("int"))
+            part_cols.append("_wg")
+        out = out.sortWithinPartitions(BUCKET_COL, KHASH_COL)
+        out.write.partitionBy(*part_cols).parquet(out_dir, mode="errorifexists")
 
         new_files: dict[int, list[str]] = {}
         if os.path.exists(out_dir):
@@ -330,17 +383,23 @@ class LakeTable:
                     continue
                 b = int(entry.split("=", 1)[1])
                 bdir = os.path.join(out_dir, entry)
-                new_files[b] = [
-                    os.path.join(rel_dir, entry, fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                ]
+                rels = []
+                for dirpath, _, fns in os.walk(bdir):
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            rels.append(
+                                os.path.relpath(os.path.join(dirpath, fn), self.root)
+                            )
+                new_files[b] = sorted(rels)
 
         buckets = dict(base.buckets)
         for b in replaced_buckets:
             buckets.pop(b, None)
+        for b, kept in (carry_files or {}).items():
+            if kept:
+                buckets[b] = list(kept)
         for b, fl in new_files.items():
-            buckets[b] = fl
+            buckets[b] = buckets.get(b, []) + fl
 
         # Per-file column stats: harvest parquet footer min/max for the
         # files this commit wrote (driver-local metadata reads, no Spark

@@ -209,3 +209,28 @@ def test_replay_changelog_matches_per_batch_apply(spark, tmp_path, changelog, or
     # re-running the bulk replay is a no-op (same guard as apply_batch)
     replay_changelog(b, changelog, boundaries=[700, 1400])
     assert table_digest(b.read().select("repo", "path", "content").toPandas()) == da
+
+
+def test_replay_changelog_many_boundaries_bounded(spark, tmp_path, changelog):
+    """K=1,000 boundaries must not degenerate: the batch id is one shallow
+    array expression (size(filter(lit_array))), not a K-deep comparison
+    chain whose analysis cost blows up around K~10^4. Most ranges here are
+    empty (no commit), so the test isolates the metadata/expression cost."""
+    import time
+
+    from binlog_es_go_spark.cdc.apply import replay_changelog
+
+    t = LakeTable.create(spark, str(tmp_path / "kb"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    # 2 real cut points + 998 boundaries above every offset (empty ranges)
+    boundaries = [700, 1400] + list(range(100_000, 100_000 + 998))
+    t0 = time.time()
+    results = replay_changelog(t, changelog, boundaries=boundaries)
+    wall = time.time() - t0
+    assert len(results) == 3, "empty ranges commit nothing"
+    assert wall < 120, f"1,000-boundary replay took {wall:.0f}s — expression degenerated"
+
+    ref = LakeTable.create(spark, str(tmp_path / "kb_ref"), PAYLOAD, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(ref, changelog, batch_id=0)
+    da = table_digest(t.read().select("repo", "path", "content").toPandas())
+    db = table_digest(ref.read().select("repo", "path", "content").toPandas())
+    assert da == db and applied_offsets(t) == applied_offsets(ref)
