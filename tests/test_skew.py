@@ -90,6 +90,8 @@ def test_merge_write_salt_splits_hot_bucket_above_n_buckets(spark, tmp_path):
     log.cache().count()
 
     def files_per_bucket(root):
+        # files may sit under _bucket=N/ directly (one write group) or in
+        # _bucket=N/_wg=M/ range-group subdirs (round-4 file-COW layout)
         out = {}
         data = os.path.join(root, "data")
         for commit in os.listdir(data):
@@ -97,7 +99,9 @@ def test_merge_write_salt_splits_hot_bucket_above_n_buckets(spark, tmp_path):
             for entry in os.listdir(cdir):
                 if entry.startswith("_bucket="):
                     b = int(entry.split("=")[1])
-                    n = len([f for f in os.listdir(os.path.join(cdir, entry)) if f.endswith(".parquet")])
+                    n = 0
+                    for dirpath, _, fns in os.walk(os.path.join(cdir, entry)):
+                        n += len([f for f in fns if f.endswith(".parquet")])
                     out[b] = out.get(b, 0) + n
         return out
 
