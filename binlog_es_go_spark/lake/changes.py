@@ -53,6 +53,26 @@ def changed_buckets(table: LakeTable, from_version: int, to_version: int) -> lis
     return sorted(b for b in all_b if s_from.buckets.get(b) != s_to.buckets.get(b))
 
 
+def changed_file_sets(
+    table: LakeTable, from_version: int, to_version: int
+) -> tuple[list[str], list[str]]:
+    """(files only in FROM, files only in TO) — the file-granular diff
+    scan set. Data files are immutable and a key lives in at most ONE
+    file per bucket per version (every merge rewrites all files that
+    could contain its keys and window-dedups; compaction likewise), so a
+    file SHARED by both manifests contributes bit-identical rows to both
+    sides whose keys changed in neither — they can only land in the
+    diff's "no change" branch. Dropping shared files from BOTH sides
+    therefore preserves the diff exactly while making an incremental read
+    O(files actually rewritten), which under file-granular COW
+    (lake/merge.py) is O(batch), not O(touched buckets)."""
+    s_from = table.snapshot(from_version)
+    s_to = table.snapshot(to_version)
+    f_from = {p for fl in s_from.buckets.values() for p in fl}
+    f_to = {p for fl in s_to.buckets.values() for p in fl}
+    return sorted(f_from - f_to), sorted(f_to - f_from)
+
+
 def snapshot_changes(
     table: LakeTable,
     from_version: int,
@@ -97,8 +117,8 @@ def snapshot_changes(
             f"allow_missing_deletes=True for insert/update-only semantics."
         )
     key_cols = snap.key_cols
-    buckets = changed_buckets(table, from_version, to_version)
-    if not buckets:
+    old_files, new_files = changed_file_sets(table, from_version, to_version)
+    if not old_files and not new_files:
         return _empty_changelog(table, to_version)
 
     payload_cols = [
@@ -108,7 +128,14 @@ def snapshot_changes(
     ]
 
     def side(version: int, tag: str, with_payload: bool) -> DataFrame:
-        df = table.read(buckets=buckets, include_deleted=True, version=version)
+        # File-granular incremental read: only the files this version
+        # does NOT share with the other side (see changed_file_sets for
+        # why shared files cannot contribute diff rows).
+        df = table.read(
+            files=(old_files if tag == "o" else new_files),
+            include_deleted=True,
+            version=version,
+        )
         vis = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         cols = [
             *key_cols,

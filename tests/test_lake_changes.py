@@ -123,3 +123,35 @@ def test_tombstone_gc_retention_contract(spark, tmp_path):
         prune_buckets=False,
     )  # -> v4 (empty commit just to advance the version)
     assert snapshot_changes(t, gc_v, t.current_version()).count() == 0
+
+
+def test_snapshot_diff_reads_only_changed_files(spark, tmp_path):
+    """Composing file-COW with incremental reads: after a single-key merge
+    into a multi-file bucket, the diff's scan set is the one rewritten
+    file + its replacement — O(batch), not O(touched buckets) — and the
+    diff row is exactly the changed key."""
+    from binlog_es_go_spark.lake.changes import changed_file_sets
+
+    log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
+    log.cache().count()
+    t = LakeTable.create(spark, str(tmp_path / "fsrc"), PAYLOAD, key_cols=["repo", "path"], n_buckets=4)
+    # 8 range files per bucket
+    apply_batch(t, log, batch_id=0, salt_partitions=32)                     # -> v1
+    v1 = t.current_version()
+    n_files_v1 = sum(len(fl) for fl in t.snapshot().buckets.values())
+    assert n_files_v1 >= 16, f"need a multi-file table, got {n_files_v1}"
+
+    row = t.read().select("repo", "path").first()
+    hot = spark.createDataFrame(
+        [(10**7, 0, 0, "update", row["repo"], row["path"], None,
+          ("cH", "py", "HOT"), None)], log.schema)
+    apply_batch(t, hot, batch_id=1, salt_partitions=32)                     # -> v2
+
+    old_files, new_files = changed_file_sets(t, v1, t.current_version())
+    assert len(old_files) == 1 and len(new_files) == 1, (old_files, new_files)
+
+    ch = snapshot_changes(t, v1, t.current_version())
+    rows = ch.collect()
+    assert len(rows) == 1
+    assert (rows[0]["op"], rows[0]["repo"], rows[0]["path"], rows[0]["content"]) == (
+        "update", row["repo"], row["path"], "HOT")
