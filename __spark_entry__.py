@@ -1462,6 +1462,83 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+# Fixed keys for the point-lookup gate: a mix of hot (low repo id — the
+# generator's Zipf head), cold, and never-generated keys.
+_LOOKUP_KEYS = [
+    ("org0/repo0", "src/dir0/file0.txt"),
+    ("org0/repo0", "src/dir1/file1.txt"),
+    ("org1/repo1", "src/dir2/file2.txt"),
+    ("org5/repo15", "src/dir3/file3.txt"),
+    ("org9/repo39", "src/dir6/file13.txt"),
+    ("org9/repo999", "src/no/such.txt"),      # never generated
+]
+_POINT_LOOKUP_LOG = os.path.join(
+    tempfile.gettempdir(), "binlog_es_spark_contract", "cdc_point_lookup_changelog"
+)
+
+
+def _cdc_point_lookup(spark, sf_dir):
+    """Point lookup against the lake — the reference sink's document GET
+    (ES ``_doc/<id>``; same CRC-32/IEEE routing hash,
+    pkg/realtime/helpers.go:104-123). The changelog is generated,
+    persisted, MERGEd in two offset-guarded batches, then
+    ``LakeTable.read_keys`` resolves a fixed key list driver-side from
+    the manifest: khash-pruned to the O(len(keys)) files that can hold
+    them. DuckDB independently recomputes each key's LWW winner from the
+    persisted log, so routing, pruning, tombstone invisibility, and the
+    guard all sit under the value hash."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    payload = T.StructType([T.StructField(n, T.StringType()) for n in ["repo", "path", "commit", "lang", "content"]])
+    root = tempfile.mkdtemp(prefix="cdc_point_lookup_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["repo", "path"], n_buckets=8)
+    log = generate_changelog(
+        spark, 3000, n_repos=40, paths_per_repo=20, seed=77, duplicate_ratio=0.05
+    )
+    flat = log.select(
+        "offset", "partition_id", "seq_in_tx", "op", "repo", "path",
+        F.col("after.commit").alias("commit"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.content").alias("content"),
+    )
+    flat.write.mode("overwrite").parquet(_POINT_LOOKUP_LOG)
+    persisted = spark.read.parquet(_POINT_LOOKUP_LOG)
+    after_t = T.StructType([T.StructField(n, T.StringType()) for n in ["commit", "lang", "content"]])
+    replog = persisted.select(
+        "offset", "partition_id", "seq_in_tx", "op", "repo", "path",
+        F.when(F.col("op") != "delete", F.struct("commit", "lang", "content"))
+        .cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    for i, (lo, hi) in enumerate([(0, 1501), (1501, 3000)]):
+        apply_batch(
+            table, replog.filter((F.col("offset") >= lo) & (F.col("offset") < hi)),
+            batch_id=i, salt_partitions=32,
+        )
+    return table.read_keys(_LOOKUP_KEYS).select(
+        "repo", "path", "commit", "lang",
+        F.col("last_offset").cast("long").alias("last_offset"),
+    )
+
+
+def _cdc_point_lookup_oracle_sql() -> str:
+    keys = ", ".join(f"('{r}', '{p}')" for r, p in _LOOKUP_KEYS)
+    return f"""
+WITH log AS (SELECT * FROM read_parquet('{_POINT_LOOKUP_LOG}/*.parquet')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY "offset" DESC, seq_in_tx DESC) AS rn
+  FROM log)
+SELECT repo, path, commit, lang, "offset"::BIGINT AS last_offset
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+  AND (repo, path) IN ({keys})
+"""
+
+
 def _cdc_replay_split_tx(spark, sf_dir):
     """Split-transaction delivery under the hash gate: (offset, seq_in_tx) =
     (event_id div 4, event_id mod 4) — one "transaction" spans 4 events —
@@ -1847,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_ann": _ivf_ann,
         "ivf_kmeans_topk_ann": _ivf_kmeans_ann,
         "cdc_replay_lake": _cdc_replay_lake,
+        "cdc_point_lookup": _cdc_point_lookup,
         "cdc_replay_events": _cdc_replay_events,
         "cdc_replay_split_tx": _cdc_replay_split_tx,
         "cdc_schema_evolution": _cdc_schema_evolution,
@@ -1901,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_split_tx": _CDC_REPLAY_SPLIT_TX_ORACLE,
         "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_ORACLE,
         "cdc_replay_lake": _CDC_REPLAY_LAKE_ORACLE,
+        "cdc_point_lookup": _cdc_point_lookup_oracle_sql(),
         "lake_snapshot_diff": _LAKE_DIFF_ORACLE,
         "simhash_near_dups": _simhash_oracle_sql(),
         "minhash_lsh_near_dups": _minhash_oracle_sql(),

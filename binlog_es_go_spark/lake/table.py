@@ -440,6 +440,61 @@ class LakeTable:
         snap = self.snapshot()
         return df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
 
+    def read_keys(
+        self,
+        keys: list[tuple],
+        include_deleted: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup: the rows for an explicit list of keys — the lake
+        analog of the reference sink's document GET (ES `_doc/<id>`; the
+        routing hash is the same CRC-32/IEEE the reference shards by,
+        ``pkg/realtime/helpers.go:104-123``).
+
+        The key hashes are computed DRIVER-SIDE with zlib.crc32 over the
+        same unit-separated string Spark's ``crc32`` hashes (golden-vector
+        pinned in tests), so the scan set is resolved from the manifest
+        alone: only files whose stored ``_khash`` range can contain one of
+        the keys are read — with khash-clustered files a lookup touches
+        O(len(keys)) files no matter how large the table is. Values are
+        stringified exactly as Spark casts them (exact for string and
+        integer key columns — the supported key types).
+        """
+        import zlib
+
+        snap = self.snapshot(version)
+        if not keys:
+            return self.read(files=[], version=version)
+        want: list[tuple[int, int, str]] = []  # (bucket, khash, joined)
+        for kt in keys:
+            vals = kt if isinstance(kt, (tuple, list)) else (kt,)
+            if len(vals) != len(snap.key_cols):
+                raise ValueError(f"key {kt!r} arity != key_cols {snap.key_cols}")
+            joined = KEY_SEP.join("" if v is None else str(v) for v in vals)
+            kh = zlib.crc32(joined.encode("utf-8"))
+            want.append((kh % snap.n_buckets, kh, joined))
+
+        fstats = snap.file_stats or {}
+        files: list[str] = []
+        for b in sorted({w[0] for w in want}):
+            hashes = sorted(w[1] for w in want if w[0] == b)
+            for rel in snap.buckets.get(b, []):
+                st = fstats.get(rel, {}).get(KHASH_COL)
+                if st and st[0] is not None and st[1] is not None and not st[2]:
+                    import bisect
+
+                    i = bisect.bisect_left(hashes, int(st[0]))
+                    if not (i < len(hashes) and hashes[i] <= int(st[1])):
+                        continue  # provably cannot contain any wanted key
+                files.append(rel)
+
+        df = self.read(files=files, include_deleted=include_deleted, version=version)
+        joined_expr = F.concat_ws(
+            KEY_SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in snap.key_cols],
+        )
+        return df.filter(joined_expr.isin([w[2] for w in want]))
+
 
 _STATS_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                 T.DoubleType, T.FloatType, T.StringType, T.BooleanType)

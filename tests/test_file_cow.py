@@ -185,3 +185,46 @@ def test_compaction_resplits_and_preserves_pruning(spark, tmp_path):
     [hot_bucket] = res.affected_buckets
     assert res.rewritten_files == 1 and res.carried_files == per_bucket[hot_bucket] - 1
     assert t.read().count() == 1000
+
+
+def test_read_keys_point_lookup_prunes_files(spark, tmp_path):
+    """Driver-side zlib.crc32 matches Spark's crc32 routing (golden cross
+    check), so a point lookup resolves its scan set from the manifest
+    alone: O(len(keys)) files read, tombstoned keys invisible, missing
+    keys empty."""
+    import zlib
+
+    from binlog_es_go_spark.lake.table import KEY_SEP, bucket_expr
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pk"), PAYLOAD, key_cols=["repo", "path"], n_buckets=2
+    )
+    apply_batch(t, _bulk_insert(spark, 2000), batch_id=0, salt_partitions=16)
+
+    # cross-engine routing: python zlib.crc32 == Spark crc32 on sample keys
+    sample = [("repo3", "f3.py"), ("repo0", "f7.py")]
+    got = spark.createDataFrame(sample, ["repo", "path"]).select(
+        bucket_expr(["repo", "path"], 2).alias("b")).collect()
+    for (r, p), row in zip(sample, got):
+        assert zlib.crc32(f"{r}{KEY_SEP}{p}".encode()) % 2 == row["b"]
+
+    out = t.read_keys([("repo3", "f3.py"), ("repo1", "f8.py"), ("nope", "x.py")])
+    rows = {(r["repo"], r["path"]): r["content"] for r in out.collect()}
+    assert rows == {("repo3", "f3.py"): "v3", ("repo1", "f8.py"): "v8"}
+
+    # pruning: the lookup's scan is a strict subset of the table's files
+    n_total = sum(len(fl) for fl in t.snapshot().buckets.values())
+    snap = t.snapshot()
+    kh = zlib.crc32(f"repo3{KEY_SEP}f3.py".encode())
+    hit_files = [
+        rel for rel in snap.buckets.get(kh % 2, [])
+        if snap.file_stats[rel]["_khash"][0] <= kh <= snap.file_stats[rel]["_khash"][1]
+    ]
+    assert len(hit_files) == 1 and n_total >= 8
+
+    # tombstoned key is invisible to the lookup
+    apply_batch(t, _events(spark, [(9999, 0, 0, "delete", "repo3", "f3.py", None)]),
+                batch_id=1, salt_partitions=16)
+    assert t.read_keys([("repo3", "f3.py")]).count() == 0
+    assert t.read_keys([("repo3", "f3.py")], include_deleted=True).count() == 1
+    assert t.read_keys([]).count() == 0
