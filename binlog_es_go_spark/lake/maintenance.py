@@ -18,8 +18,31 @@ from pyspark.sql import functions as F
 from binlog_es_go_spark.lake.table import DELETED_COL, LakeTable
 
 
-def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_below: int | None = None) -> int:
-    """Rewrite every bucket into ``target_files_per_bucket`` files.
+def small_file_buckets(table: LakeTable, max_files_per_bucket: int = 16) -> list[int]:
+    """Buckets whose manifest file count exceeds the threshold — the
+    compaction work list. File-granular COW (merge.py) ACCUMULATES files:
+    every incremental commit carries untouched files forward and adds
+    rewritten/new ones, so file counts grow with commit rate until a
+    compaction folds them. This is the manifest-only (no Spark job)
+    scheduler input for ``compact(buckets=...)``: maintenance stays
+    O(hot buckets), never O(table)."""
+    snap = table.snapshot()
+    return sorted(b for b, fl in snap.buckets.items() if len(fl) > max_files_per_bucket)
+
+
+def compact(
+    table: LakeTable,
+    target_files_per_bucket: int = 1,
+    drop_tombstones_below: int | None = None,
+    buckets: list[int] | None = None,
+) -> int:
+    """Rewrite buckets into ``target_files_per_bucket`` range files each.
+
+    ``buckets=None`` rewrites the whole table; a list compacts ONLY those
+    buckets (pair with :func:`small_file_buckets` to fold exactly the
+    buckets that file-granular COW has fragmented — the Iceberg
+    rewrite_data_files-with-filter analog). Untouched buckets keep their
+    files and stats.
 
     ``drop_tombstones_below``: offset watermark below which tombstones are
     garbage — safe ONLY when every stream partition's applied offset has
@@ -32,10 +55,14 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
     and ``snapshot_changes`` REFUSES diffs whose ``from_version`` predates
     it — an incremental consumer behind the GC can no longer silently miss
     deletes (lake/changes.py enforces the contract this docstring used to
-    only state).
+    only state). A partial compaction records the same table-wide
+    watermark (conservative: the contract refuses a few more diffs than
+    strictly necessary rather than ever missing a delete).
     """
     snap = table.snapshot()
-    df = table.read(include_deleted=True)
+    if buckets is not None and not buckets:
+        return snap.version
+    df = table.read(include_deleted=True, buckets=buckets)
     obs = None
     if drop_tombstones_below is not None:
         from pyspark.sql import Observation
@@ -50,7 +77,8 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
         df = df.observe(obs, F.sum(garbage.cast("long")).alias("dropped"))
         df = df.filter(~garbage)
     df = table.with_bucket(df)
-    n_parts = max(snap.n_buckets * target_files_per_bucket, 1)
+    n_rewrite = snap.n_buckets if buckets is None else len(buckets)
+    n_parts = max(n_rewrite * target_files_per_bucket, 1)
     # Split each bucket by key-hash RANGE (not hash-of-hash): with the
     # khash-local sort in write_buckets, each compacted file covers a
     # tight disjoint _khash range, so post-compaction merges can prune at
@@ -76,7 +104,7 @@ def compact(table: LakeTable, target_files_per_bucket: int = 1, drop_tombstones_
 
     new_snap = table.write_buckets(
         out,
-        replaced_buckets=list(range(snap.n_buckets)),
+        replaced_buckets=list(range(snap.n_buckets)) if buckets is None else list(buckets),
         expected_version=snap.version,
         properties_fn=props_after_write,
         n_write_groups=k,

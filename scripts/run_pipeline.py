@@ -47,6 +47,11 @@ def main() -> int:
                     help="compact: GC tombstones below the applied-offset watermark "
                          "(records tombstone_gc_version; snapshot diffs spanning it will refuse)")
     ap.add_argument("--keep-last", type=int, default=2, help="expire-snapshots: versions to retain")
+    ap.add_argument("--max-files-per-bucket", type=int, default=None,
+                    help="compact: only fold buckets above this file count "
+                         "(partial compaction — the file-COW maintenance loop)")
+    ap.add_argument("--target-files-per-bucket", type=int, default=1,
+                    help="compact: range files per compacted bucket")
     ap.add_argument("--min-age-sec", type=float, default=600.0,
                     help="expire-snapshots: never delete commit dirs younger than this")
     ap.add_argument("--replica", help="replicate: target lake table root")
@@ -95,8 +100,18 @@ def main() -> int:
                 if not offs:
                     ap.error("--drop-tombstones needs applied offsets in the manifest")
                 wm = min(offs.values())
-            v = compact(table, drop_tombstones_below=wm)
-            print(f"compacted -> v{v}" + (f" (tombstones below {wm} dropped)" if wm is not None else ""))
+            buckets = None
+            if args.max_files_per_bucket is not None:
+                from binlog_es_go_spark.lake.maintenance import small_file_buckets
+
+                buckets = small_file_buckets(table, args.max_files_per_bucket)
+                if not buckets:
+                    print("no bucket exceeds the file threshold; nothing to compact")
+                    return 0
+            v = compact(table, target_files_per_bucket=args.target_files_per_bucket,
+                        drop_tombstones_below=wm, buckets=buckets)
+            scope = f" ({len(buckets)} buckets)" if buckets is not None else ""
+            print(f"compacted -> v{v}{scope}" + (f" (tombstones below {wm} dropped)" if wm is not None else ""))
             return 0
         if args.mode == "expire-snapshots":
             from binlog_es_go_spark.lake.maintenance import expire_snapshots

@@ -228,3 +228,50 @@ def test_read_keys_point_lookup_prunes_files(spark, tmp_path):
     assert t.read_keys([("repo3", "f3.py")]).count() == 0
     assert t.read_keys([("repo3", "f3.py")], include_deleted=True).count() == 1
     assert t.read_keys([]).count() == 0
+
+
+def test_partial_compaction_folds_only_fragmented_buckets(spark, tmp_path):
+    """File-COW accumulates files per bucket commit-over-commit;
+    small_file_buckets + compact(buckets=...) fold exactly the fragmented
+    buckets — other buckets keep their files BY PATH, state is intact."""
+    from binlog_es_go_spark.lake.maintenance import compact, small_file_buckets
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pc"), PAYLOAD, key_cols=["repo", "path"], n_buckets=2
+    )
+    # one file per bucket...
+    apply_batch(t, _bulk_insert(spark, 600), batch_id=0, salt_partitions=2)
+    # ...then a single-key merge at a finer write-group split rewrites that
+    # bucket's one overlapping file into up to 8 range files — the
+    # k-mismatch fragmentation pattern (steady-state same-k merges replace
+    # files 1:1 and do NOT fragment; see test above)
+    apply_batch(
+        t, _events(spark, [(10_000, 0, 0, "update", "repo3", "f3.py", "u0")]),
+        batch_id=1, salt_partitions=16,
+    )
+    snap = t.snapshot()
+    counts = {b: len(fl) for b, fl in snap.buckets.items()}
+    frag = small_file_buckets(t, max_files_per_bucket=5)
+    assert frag and max(counts.values()) > 5, counts
+    cold = [b for b in counts if b not in frag]
+    cold_files = {b: list(snap.buckets[b]) for b in cold}
+
+    v = compact(t, target_files_per_bucket=2, buckets=frag)
+    snap2 = t.snapshot()
+    assert v == snap.version + 1
+    for b in frag:
+        assert len(snap2.buckets[b]) <= 2, "fragmented bucket folded"
+    for b in cold:
+        assert snap2.buckets[b] == cold_files[b], "cold bucket untouched by path"
+    assert small_file_buckets(t, max_files_per_bucket=5) == []
+
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in t.read().select("repo", "path", "content").collect()}
+    assert len(got) == 600 and got[("repo3", "f3.py")] == "u0"
+
+    # post-compaction merges still prune at file granularity
+    res = apply_batch(
+        t, _events(spark, [(20_000, 0, 0, "update", "repo3", "f3.py", "FINAL")]),
+        batch_id=99, salt_partitions=8,
+    )
+    assert res.rewritten_files == 1
