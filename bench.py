@@ -167,6 +167,64 @@ def cdc_replay_run(cores: int, events_dir: str, warmup_dir: str, n_events: int) 
         spark.stop()
 
 
+def cdc_tail_bench(cores: int) -> dict:
+    """Incremental-tail throughput: small batches into a BIG table — the
+    steady-state CDC regime the file-granular COW write path exists for
+    (bulk replay can't show it: every bulk batch overlaps every file).
+    Builds a 2M-row, 64-bucket, 8-files-per-bucket table, then applies
+    TAIL_BATCHES x TAIL_EVENTS batches; reports wall, per-batch time, and
+    the rewritten/carried file counts that prove the pruning is active."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.table import LakeTable
+    from binlog_es_go_spark.session import build_session
+
+    n_batches = int(os.environ.get("BENCH_TAIL_BATCHES", "10"))
+    n_events = int(os.environ.get("BENCH_TAIL_EVENTS", "200"))
+    base_rows = int(os.environ.get("BENCH_TAIL_BASE", "2000000"))
+    spark = build_session(f"bench-tail-{cores}", parallelism=cores, shuffle_partitions=64,
+                          extra_conf=REPLAY_CONF)
+    try:
+        payload = T.StructType(
+            [T.StructField(n, T.StringType()) for n in ["repo", "path", "commit", "lang", "content"]]
+        )
+        root = tempfile.mkdtemp(prefix=f"bench_tail_{cores}_", dir=SCRATCH)
+        table = LakeTable.create(spark, root + "/t", payload, key_cols=["repo", "path"], n_buckets=64)
+        big = generate_changelog(spark, base_rows, n_repos=5000, paths_per_repo=400,
+                                 n_partitions=32, seed=5)
+        apply_batch(table, big, batch_id=0, salt_partitions=512, prune_buckets=False,
+                    stream_partitions=32)
+        batches = []
+        for i in range(n_batches):
+            ev = generate_changelog(spark, n_events, n_repos=5000, paths_per_repo=400, seed=50 + i)
+            ev = ev.withColumn("offset", F.col("offset") + (10_000_000 + i * 100_000))
+            ev.cache().count()
+            batches.append(ev)
+        t0 = time.time()
+        rewrote = carried = 0
+        for i, ev in enumerate(batches):
+            r = apply_batch(table, ev, batch_id=i + 1, salt_partitions=512)
+            rewrote += r.rewritten_files or 0
+            carried += r.carried_files or 0
+        wall = time.time() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return {
+            "base_rows": base_rows,
+            "batches": n_batches,
+            "events_per_batch": n_events,
+            "wall_sec": round(wall, 2),
+            "sec_per_batch": round(wall / n_batches, 3),
+            "events_per_sec": round(n_batches * n_events / wall, 1),
+            "files_rewritten": rewrote,
+            "files_carried": carried,
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     from binlog_es_go_spark.cdc.events import generate_changelog
     from binlog_es_go_spark.session import build_session
@@ -265,6 +323,12 @@ def main() -> None:
     # canary-clean subset of the pair ratios (evidence trail for the judge)
     paired_clean = [paired[i] for i in clean_pairs] if clean_pairs else []
 
+    print("incremental tail (file-COW path) ...", file=sys.stderr)
+    tail = cdc_tail_bench(cores=min(8, CPUS))
+    print(f"tail: {tail['sec_per_batch']}s/batch, "
+          f"{tail['files_rewritten']} rewritten / {tail['files_carried']} carried",
+          file=sys.stderr)
+
     print("headline queries ...", file=sys.stderr)
     timings, total = run_headline_queries()
 
@@ -300,6 +364,9 @@ def main() -> None:
                 "flagged_pairs": flagged_pairs,
             },
         },
+        # steady-state incremental tail (small batches into a big table):
+        # the regime the file-granular COW write path targets
+        "cdc_tail": tail,
     }
     print(json.dumps(result))
 
