@@ -86,6 +86,11 @@ ENGINE_COLS = ("last_offset", "last_seq", "last_op", DELETED_COL, "updated_at", 
 # the driver transfer at n_buckets * (cap+1) longs regardless of batch size.
 KEY_PRUNE_CAP = 1024
 
+# Target bytes per write task when the exchange width adapts to a small
+# pruned batch (see _merge_once): enough to keep tasks meaningful, small
+# enough that a single rewritten file never serializes a whole commit.
+WRITE_TARGET_BYTES = 64 << 20
+
 
 @dataclass
 class BatchKeyInfo:
@@ -370,7 +375,26 @@ def _merge_once(
     span = -(-(1 << 32) // k_groups)  # ceil(2^32 / k)
     winners = winners.withColumn(KHASH_COL, khash_expr(key_cols))
     grp = F.floor(F.col(KHASH_COL) / F.lit(span)).cast("int")
-    winners = winners.repartition(max(1, n_out), F.col(BUCKET_COL), grp)
+    # Exchange width adapts to the DATA, not the layout dial: a (bucket,
+    # group) combo always hashes to exactly one task, so file layout and
+    # file COUNT are fixed by k_groups (directory-encoded in
+    # write_buckets) no matter how few tasks run — scheduling n_out tasks
+    # for a 200-event batch was pure serial floor (measured ~4s of an
+    # ~5s small-batch commit at n_out=512, local[8]). Shrink only when
+    # the batch is PROVABLY small — every bucket's key set exact under
+    # KEY_PRUNE_CAP — sized by the bytes actually rewritten (manifest
+    # file_sizes; files with unknown size count one full target each).
+    # Bulk paths (no/overflowed key info) keep the full width.
+    n_tasks = max(1, n_out)
+    if kinfo and affected and all(
+        kinfo.get(b) is not None and kinfo[b].khashes is not None for b in affected
+    ):
+        sizes = snap.file_sizes or {}
+        overlap_bytes = sum(sizes.get(rel, WRITE_TARGET_BYTES) for rel in overlap_files)
+        n_keys = sum(len(kinfo[b].khashes) for b in affected)
+        est_bytes = overlap_bytes + n_keys * 1024  # generous per-row estimate
+        n_tasks = min(n_out, max(k_groups, -(-est_bytes // WRITE_TARGET_BYTES)))
+    winners = winners.repartition(n_tasks, F.col(BUCKET_COL), grp)
 
     new_snap = table.write_buckets(
         winners,

@@ -94,6 +94,11 @@ class Snapshot:
     # Iceberg data-skipping analog: value-predicate scans prune FILES, not
     # just buckets. Absent for pre-stats manifests (empty dict).
     file_stats: dict[str, dict[str, list]] = None  # type: ignore[assignment]
+    # relative file path -> bytes on disk (harvested in the same commit
+    # walk): sizes the merge's write exchange to the DATA it actually
+    # rewrites instead of the layout dial (see _merge_once), and feeds
+    # size-aware compaction policies. Absent for older manifests.
+    file_sizes: dict[str, int] = None  # type: ignore[assignment]
 
 
 class LakeTable:
@@ -126,6 +131,7 @@ class LakeTable:
             properties=properties or {},
             stats={"rows": 0},
             file_stats={},
+            file_sizes={},
         )
         table._write_manifest(snap)
         table._swap_version(0, expected_parent=None)
@@ -185,6 +191,7 @@ class LakeTable:
             properties=m.get("properties", {}),
             stats=m.get("stats", {}),
             file_stats=m.get("file_stats", {}),
+            file_sizes=m.get("file_sizes", {}),
         )
 
     def _write_manifest(self, snap: Snapshot) -> None:
@@ -198,6 +205,7 @@ class LakeTable:
             "properties": snap.properties,
             "stats": snap.stats,
             "file_stats": snap.file_stats or {},
+            "file_sizes": snap.file_sizes or {},
         }
         path = os.path.join(self.root, f"manifest-{snap.version}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -377,6 +385,7 @@ class LakeTable:
         out.write.partitionBy(*part_cols).parquet(out_dir, mode="errorifexists")
 
         new_files: dict[int, list[str]] = {}
+        new_sizes: dict[str, int] = {}
         if os.path.exists(out_dir):
             for entry in os.listdir(out_dir):
                 if not entry.startswith(f"{BUCKET_COL}="):
@@ -387,9 +396,13 @@ class LakeTable:
                 for dirpath, _, fns in os.walk(bdir):
                     for fn in fns:
                         if fn.endswith(".parquet"):
-                            rels.append(
-                                os.path.relpath(os.path.join(dirpath, fn), self.root)
-                            )
+                            full = os.path.join(dirpath, fn)
+                            rel = os.path.relpath(full, self.root)
+                            rels.append(rel)
+                            try:
+                                new_sizes[rel] = os.path.getsize(full)
+                            except OSError:
+                                pass
                 new_files[b] = sorted(rels)
 
         buckets = dict(base.buckets)
@@ -406,6 +419,8 @@ class LakeTable:
         # job), carry forward surviving files' stats, drop replaced ones.
         live = {p for fl in buckets.values() for p in fl}
         file_stats = {p: st for p, st in (base.file_stats or {}).items() if p in live}
+        file_sizes = {p: sz for p, sz in (base.file_sizes or {}).items() if p in live}
+        file_sizes.update(new_sizes)
         if collect_stats:
             written = [p for fl in new_files.values() for p in fl]
             file_stats.update(_harvest_file_stats(self.root, written, schema))
@@ -431,6 +446,7 @@ class LakeTable:
             properties=props,
             stats={"rows": None, "committed_at": time.time()},
             file_stats=file_stats,
+            file_sizes=file_sizes,
         )
         self._write_manifest(snap)
         self._swap_version(snap.version, expected_parent=base.version)
