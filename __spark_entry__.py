@@ -1830,6 +1830,7 @@ WITH m AS (SELECT unnest(range(0, {n})) AS media_id),
 base AS (SELECT media_id,
              (['image','audio','video'])[(media_id % 3) + 1] AS kind,
              (2 + media_id % 3)::INT AS w, (2 + media_id % 2)::INT AS h,
+             (2 + media_id % 2)::INT AS vw,
              sha256('{seed}' || media_id::VARCHAR)
                || sha256('{seed}' || media_id::VARCHAR || 'b') AS hx FROM m),
 p AS (SELECT *, CASE kind
@@ -1837,7 +1838,11 @@ p AS (SELECT *, CASE kind
                                      || h::VARCHAR || chr(10) || '255' || chr(10))::BLOB))
                           || substr(hx, 1, w*h*3*2)
         WHEN 'audio' THEN '{WAV_HEADER_HEX}' || substr(hx, 1, {4 * _WAV_N_SAMPLES})
-        ELSE hx END AS phex
+        ELSE lower(hex(('YUV4MPEG2 W' || vw::VARCHAR
+                        || ' H2 F25:1 Ip A1:1 C444' || chr(10))::BLOB))
+             || lower(hex(('FRAME' || chr(10))::BLOB)) || substr(hx, 1, 12*vw)
+             || lower(hex(('FRAME' || chr(10))::BLOB)) || substr(hx, 12*vw + 1, 12*vw)
+        END AS phex
       FROM base),
 bytes AS (SELECT media_id, phex, unnest(range(0, length(phex)//2)) AS k FROM p),
 vals AS (SELECT media_id, {byte_at.format(h='phex', k='k')} AS v FROM bytes),
@@ -1859,23 +1864,33 @@ smpagg AS (SELECT media_id,
                   sum((u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)
                       * (u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)) AS ss2,
                   count(*) AS ns
-           FROM smpv GROUP BY media_id)
+           FROM smpv GROUP BY media_id),
+-- Y4M luma: the Y plane is the first vw*2 bytes of each frame's C444 data
+lum AS (SELECT media_id, substr(hx, 1, 4*vw) || substr(hx, 12*vw + 1, 4*vw) AS yhex,
+               unnest(range(0, 4*vw)) AS k
+        FROM p WHERE kind = 'video'),
+lumv AS (SELECT media_id, {byte_at.format(h='yhex', k='k')} AS v FROM lum),
+lumagg AS (SELECT media_id, sum(v) AS ys, count(*) AS yc FROM lumv GROUP BY media_id)
 SELECT b.media_id, b.kind,
-       CASE b.kind WHEN 'image' THEN 'ppm' WHEN 'audio' THEN 'wav' ELSE 'raw' END AS fmt,
+       CASE b.kind WHEN 'image' THEN 'ppm' WHEN 'audio' THEN 'wav' ELSE 'y4m' END AS fmt,
        a.nb::INT AS n_bytes,
        a.s1::DOUBLE / a.nb AS byte_mean,
        sqrt(a.s2::DOUBLE / a.nb - (a.s1::DOUBLE / a.nb) * (a.s1::DOUBLE / a.nb)) AS byte_std,
        sha256(substr(p.phex, 1, 64)) AS head_sha256,
-       CASE WHEN b.kind = 'image' THEN b.w END AS width,
-       CASE WHEN b.kind = 'image' THEN b.h END AS height,
+       CASE b.kind WHEN 'image' THEN b.w WHEN 'video' THEN b.vw END AS width,
+       CASE b.kind WHEN 'image' THEN b.h WHEN 'video' THEN 2 END AS height,
        px.sr::DOUBLE / px.npix AS mean_r,
        px.sg::DOUBLE / px.npix AS mean_g,
        px.sb::DOUBLE / px.npix AS mean_b,
        CASE WHEN b.kind = 'audio' THEN {_WAV_SAMPLE_RATE}::INT END AS sample_rate,
        CASE WHEN b.kind = 'audio' THEN {_WAV_N_SAMPLES}::INT END AS n_samples,
-       sqrt(sa.ss2::DOUBLE / sa.ns) AS rms
+       sqrt(sa.ss2::DOUBLE / sa.ns) AS rms,
+       CASE WHEN b.kind = 'video' THEN 2 END AS n_frames,
+       CASE WHEN b.kind = 'video' THEN 25.0::DOUBLE END AS fps,
+       la.ys::DOUBLE / la.yc AS mean_y
 FROM base b JOIN p USING (media_id) JOIN agg a USING (media_id)
 LEFT JOIN pixagg px USING (media_id) LEFT JOIN smpagg sa USING (media_id)
+LEFT JOIN lumagg la USING (media_id)
 """
 
 

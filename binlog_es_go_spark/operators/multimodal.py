@@ -2,13 +2,17 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / frame-sample run as Arrow-batched
-``mapInPandas`` stages. Decoding is REAL for two deterministic containers
-that need no external libraries:
+``mapInPandas`` stages. Decoding is REAL for three deterministic
+containers that need no external libraries:
 
 * **PPM (P6)** images — ASCII header parse (width/height/maxval) +
   per-channel pixel moments over the raw RGB bytes;
 * **WAV (RIFF/PCM16)** audio — chunk walk (fmt + data), sample-rate and
-  bit-depth read from the header, RMS over the int16 samples.
+  bit-depth read from the header, RMS over the int16 samples;
+* **Y4M (YUV4MPEG2)** video — the uncompressed interchange container
+  ffmpeg/x264 consume: header-line token parse (W/H/F/C), per-frame
+  ``FRAME`` marker walk, frame count, fps, and mean luma over the Y
+  planes.
 
 Payloads in an unrecognized container fall back to byte statistics (the
 boundary where PIL/ffmpeg would plug in for JPEG/MP4 at a real deployment);
@@ -50,8 +54,16 @@ FEATURE_SCHEMA = (
     "media_id long, kind string, fmt string, n_bytes int, byte_mean double, "
     "byte_std double, head_sha256 string, width int, height int, "
     "mean_r double, mean_g double, mean_b double, "
-    "sample_rate int, n_samples int, rms double"
+    "sample_rate int, n_samples int, rms double, "
+    "n_frames int, fps double, mean_y double"
 )
+
+# Synthetic video: YUV4MPEG2, C444 (three full planes per frame), 2 frames,
+# height 2, width 2 + id%2, 25 fps — small enough that two frames fit the
+# 64 deterministic body bytes, real enough that ffmpeg would accept it.
+_Y4M_FRAMES = 2
+_Y4M_H = 2
+_Y4M_FPS = 25.0
 
 # Synthetic audio: PCM16 mono @8 kHz, 24 samples (48 data bytes). The RIFF
 # header is a fixed 44-byte prefix, precomputed once so both the Spark
@@ -80,8 +92,8 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
       w*h*3 bytes as RGB pixels (w = 2 + id%3, h = 2 + id%2);
     * audio — a valid 8 kHz PCM16 WAV: fixed 44-byte RIFF header + the
       first 48 bytes as 24 little-endian samples;
-    * video — the raw 64 bytes (no deterministic video container exists
-      without ffmpeg; exercises the unrecognized-container fallback).
+    * video — a valid YUV4MPEG2 (Y4M) stream: header line + 2 ``FRAME``
+      chunks of C444 planes (w = 2 + id%2, h = 2) from the body bytes.
     """
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
@@ -97,6 +109,7 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         ).alias("body"),
         (F.lit(2) + F.pmod(F.col("id"), F.lit(3))).cast("int").alias("w"),
         (F.lit(2) + F.pmod(F.col("id"), F.lit(2))).cast("int").alias("h"),
+        (F.lit(2) + F.pmod(F.col("id"), F.lit(2))).cast("int").alias("vw"),
     )
     ppm_header = F.concat(
         F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
@@ -107,15 +120,27 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         F.unhex(F.lit(WAV_HEADER_HEX)),
         F.substring(F.col("body"), F.lit(1), F.lit(2 * _WAV_N_SAMPLES)),
     )
+    y4m_header = F.concat(
+        F.lit("YUV4MPEG2 W"), F.col("vw").cast("string"),
+        F.lit(f" H{_Y4M_H} F25:1 Ip A1:1 C444\n"),
+    ).cast("binary")
+    frame_bytes = F.col("vw") * F.lit(3 * _Y4M_H)  # C444: 3 full planes
+    y4m = F.concat(
+        y4m_header,
+        F.lit("FRAME\n").cast("binary"),
+        F.substring(F.col("body"), F.lit(1), frame_bytes),
+        F.lit("FRAME\n").cast("binary"),
+        F.substring(F.col("body"), frame_bytes + 1, frame_bytes),
+    )
     payload = (
         F.when(F.col("kind") == "image", img)
         .when(F.col("kind") == "audio", wav)
-        .otherwise(F.col("body"))
+        .otherwise(y4m)
     )
     mime = (
         F.when(F.col("kind") == "image", F.lit("image/x-portable-pixmap"))
         .when(F.col("kind") == "audio", F.lit("audio/wav"))
-        .otherwise(F.lit("application/octet-stream"))
+        .otherwise(F.lit("video/x-yuv4mpeg"))
     )
     return base.select(
         "media_id",
@@ -191,11 +216,73 @@ def _decode_wav(b: bytes):
     }
 
 
+def _decode_y4m(b: bytes):
+    """YUV4MPEG2 decode: header-line token parse (W/H/F/C) + FRAME chunk
+    walk; mean luma over the Y planes of all frames (exact int sum)."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps_num, fps_den, c = None, 1, "420"
+    for tok in b[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, _, den = val.partition(b":")
+                fps_num, fps_den = int(num), int(den or b"1")
+            elif tag == b"C":
+                c = val.decode()
+        except ValueError:
+            return None
+    if not w or not h:
+        return None
+    if c.startswith("444"):
+        frame_len = 3 * w * h
+    elif c.startswith("422"):
+        frame_len = 2 * w * h
+    elif c.startswith("420"):
+        frame_len = w * h * 3 // 2
+    else:
+        return None
+    pos, n_frames, y_sum, y_cnt = nl + 1, 0, 0, 0
+    while pos < len(b):
+        if b[pos:pos + 5] != b"FRAME":
+            return None
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or len(b) - (fnl + 1) < frame_len:
+            return None
+        y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=fnl + 1)
+        y_sum += int(y.astype(np.int64).sum())
+        y_cnt += w * h
+        n_frames += 1
+        pos = fnl + 1 + frame_len
+    if n_frames == 0:
+        return None
+    return {
+        "fmt": "y4m",
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "fps": fps_num / fps_den,
+        "mean_y": y_sum / y_cnt,
+    }
+
+
 def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of rows).
 
-    PPM and WAV payloads are genuinely decoded (header parse + pixel/sample
-    moments); anything else falls back to whole-payload byte statistics
+    PPM, WAV, and Y4M payloads are genuinely decoded (header parse +
+    pixel/sample/luma moments); anything else falls back to whole-payload byte statistics
     with ``fmt='raw'`` — unless ``require_codecs=True``, which raises for
     undecodable payloads instead (the honest gate where PIL/ffmpeg would
     extend the decoder registry). One output row per input row; typed
@@ -214,12 +301,12 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
                 k: [] for k in (
                     "fmt", "n_bytes", "byte_mean", "byte_std", "head_sha256",
                     "width", "height", "mean_r", "mean_g", "mean_b",
-                    "sample_rate", "n_samples", "rms",
+                    "sample_rate", "n_samples", "rms", "n_frames", "fps", "mean_y",
                 )
             }
             for p in pdf["payload"]:
                 p = bytes(p or b"")
-                decoded = _decode_ppm(p) or _decode_wav(p)
+                decoded = _decode_ppm(p) or _decode_wav(p) or _decode_y4m(p)
                 if decoded is None and require_codecs:
                     raise NotImplementedError(
                         f"payload in unrecognized container (head={p[:8]!r}); "
@@ -238,7 +325,7 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
                 rows["byte_std"].append(math.sqrt(max(s2 / n - m * m, 0.0)) if n else 0.0)
                 rows["head_sha256"].append(hashlib.sha256(p[:32].hex().encode()).hexdigest())
                 for k in ("width", "height", "mean_r", "mean_g", "mean_b",
-                          "sample_rate", "n_samples", "rms"):
+                          "sample_rate", "n_samples", "rms", "n_frames", "fps", "mean_y"):
                     rows[k].append(d.get(k))
             out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
             out.update(rows)
@@ -247,6 +334,7 @@ def extract_features(media: DataFrame, require_codecs: bool = False, batch_hint:
             out["height"] = pd.array(out["height"], dtype="Int32")
             out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
             out["n_samples"] = pd.array(out["n_samples"], dtype="Int32")
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)

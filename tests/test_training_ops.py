@@ -338,7 +338,10 @@ def test_multimodal_real_codecs_decode_headers(spark):
             assert r["sample_rate"] == 8000 and r["n_samples"] == 24
             assert r["rms"] >= 0.0
         else:
-            assert r["fmt"] == "raw" and r["width"] is None and r["rms"] is None
+            assert r["fmt"] == "y4m"
+            assert r["n_frames"] == 2 and r["fps"] == 25.0
+            assert r["width"] in (2, 3) and r["height"] == 2
+            assert 0 <= r["mean_y"] <= 255 and r["rms"] is None
 
 
 def test_multimodal_codec_decodes_handcrafted_files(spark):
@@ -366,15 +369,33 @@ def test_multimodal_codec_decodes_handcrafted_files(spark):
 
 
 def test_multimodal_require_codecs_raises_on_unrecognized(spark):
-    # video payloads have no deterministic container -> the honest gate
-    media = synthesize_media(spark, n=3).filter(F.col("kind") == "video")
+    # an unrecognized container (e.g. real MP4 bytes, which need ffmpeg)
+    # is the honest gate: fail loudly instead of silently byte-statting
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 not a decodable payload"), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
     with pytest.raises(Exception, match="NotImplementedError|unrecognized container"):
         extract_features(media, require_codecs=True).collect()
-    # but the decodable kinds pass under the strict gate
-    ok = extract_features(
-        synthesize_media(spark, n=6).filter(F.col("kind") != "video"), require_codecs=True
-    ).collect()
-    assert len(ok) == 4 and all(r["fmt"] in ("ppm", "wav") for r in ok)
+    # all three synthesized kinds now pass under the strict gate
+    ok = extract_features(synthesize_media(spark, n=6), require_codecs=True).collect()
+    assert len(ok) == 6 and all(r["fmt"] in ("ppm", "wav", "y4m") for r in ok)
+
+
+def test_multimodal_y4m_handcrafted(spark):
+    """Byte-level golden check: a hand-assembled 2-frame 2x2 C444 Y4M
+    decodes to exactly the hand-computed luma mean."""
+    y4m = (b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C444\n"
+           + b"FRAME\n" + bytes([10, 20, 30, 40]) + bytes(8)
+           + b"FRAME\n" + bytes([50, 60, 70, 80]) + bytes(8))
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(y4m), None)],
+        "media_id long, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    r = extract_features(media, require_codecs=True).collect()[0]
+    assert (r["fmt"], r["width"], r["height"], r["n_frames"]) == ("y4m", 2, 2, 2)
+    assert r["fps"] == 30.0
+    assert r["mean_y"] == (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80) / 8
 
 
 def test_frame_sample_plan(spark):
