@@ -639,6 +639,44 @@ FROM inter WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2
 """
 
 
+def _near_dup_clusters(spark, sf_dir):
+    """Cluster resolution over near-dup candidate pairs — the step between
+    pairwise similarity and actually deduplicating a corpus (A~B and B~C
+    must fold into ONE family even when A!~C). Spark side: iterative
+    min-label propagation (operators/dedup.connected_components); the
+    oracle recomputes the SAME clusters with a DuckDB recursive CTE over
+    the identical jaccard pair set, so the fixpoint itself sits under the
+    value hash — a non-trivial gate for an iterative algorithm."""
+    from binlog_es_go_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
+    return near_dup_clusters(pairs)
+
+
+# Reuses the jaccard pair CTEs verbatim (same fixture as
+# ngram_jaccard_pairs), then resolves components with a recursive CTE —
+# the SQL fixpoint twin of the Spark label-propagation loop.
+_NEAR_DUP_CLUSTERS_ORACLE = (
+    _NGRAM_JACCARD_ORACLE.split("SELECT id_a, id_b,")[0].replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + r"""
+, prs AS (SELECT id_a, id_b FROM inter
+          WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+reach(node, lab) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       node = cluster_id AS is_canonical
+FROM comp
+"""
+)
+
+
 _COS_SQL = """list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
  / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
   * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"""
@@ -1927,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _dedup_exact_groups,
         "doc_fingerprints": _doc_fingerprints,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "near_dup_clusters": _near_dup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_neardup_brute": _embedding_neardup_brute,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
@@ -1982,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "doc_fingerprints": _DOC_FP_ORACLE,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "embedding_neardup_brute": _EMB_NEARDUP_ORACLE,
         "embedding_neardup_lsh": _embedding_lsh_oracle_sql(),

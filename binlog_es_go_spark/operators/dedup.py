@@ -420,6 +420,84 @@ def fingerprint_overlap(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (id, component),
+    component = the minimum id reachable from the node.
+
+    The last step of every near-dup pipeline: candidate PAIRS (minhash /
+    simhash / jaccard / embedding) must become CLUSTERS before one
+    canonical document per group can be kept — pairwise drops alone
+    under-delete (A~B, B~C but A!~C still forms one duplicate family).
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; converged when a
+    round changes nothing (checked with one count per round, bounded by
+    ``max_iter``). Lineage is truncated each round (localCheckpoint) so
+    the plan does not grow with iterations. Rounds needed = graph
+    diameter; near-dup clusters are clique-like (diameter 2-3) in
+    practice, so this settles in a handful of rounds. At web scale with
+    adversarially long chains, swap the round body for the
+    large-star/small-star contraction (same interface) — the per-round
+    join shape below is already the building block.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters:
+    (doc_id, cluster_id, n_members, is_canonical) — keep the
+    ``is_canonical`` rows (min id per cluster) to dedup the corpus."""
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("n_members"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def lsh_dropped_buckets(bucketed: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
     """Audit companion for the LSH skew caps: the buckets a given
     ``max_bucket_size`` would drop, with their sizes. Run it on the same

@@ -554,3 +554,31 @@ def test_embedding_lsh_bucket_cap_default_on(spark):
         threshold=0.9, n_planes=8, dim=4, max_bucket_size=None,
     )
     assert uncapped.count() >= 1, "None disables the cap (legacy exact behavior)"
+
+
+def test_connected_components_chains_and_islands(spark):
+    """A~B~C folds into one family even though A!~C (the reason pairwise
+    dedup under-deletes); disjoint families keep distinct components; a
+    longer chain exercises several propagation rounds."""
+    from binlog_es_go_spark.operators.dedup import connected_components, near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+    clusters = near_dup_clusters(pairs).collect()
+    by_id = {r["doc_id"]: r for r in clusters}
+    assert by_id[3]["cluster_id"] == 1 and by_id[3]["n_members"] == 3
+    assert by_id[24]["cluster_id"] == 20 and by_id[24]["n_members"] == 5
+    canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+
+    # worst-case chain ordered AGAINST the propagation direction still
+    # converges within max_iter (diameter rounds)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(chain, max_iter=40).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
