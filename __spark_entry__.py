@@ -677,6 +677,43 @@ FROM comp
 )
 
 
+def _es_bulk_actions(spark, sf_dir):
+    """The reference's last mile under the hash gate: LWW winners of the
+    events changelog become the ES ``_bulk`` action stream — index actions
+    with external versions for upserts, delete actions for deletes, doc
+    ids from the primary key — exactly the payload shape the reference's
+    bulk writer ships (pkg/es/writer.go:57-81,156-193). concat mode
+    builds the JSON by deterministic string concatenation so DuckDB
+    reproduces every byte of both lines."""
+    from binlog_es_go_spark.lake.merge import dedup_last_writer
+    from binlog_es_go_spark.operators.search_export import bulk_index_actions
+
+    ev = _t(spark, sf_dir, "events").withColumn("offset", F.col("event_id")).withColumn("op", _op_expr())
+    latest = dedup_last_writer(ev, ["user_id"], offset_col="offset", seq_col=None)
+    return bulk_index_actions(
+        latest, ["user_id"], ["event_type"], index="events_idx",
+        seq_col=None, mode="concat",
+    )
+
+
+_ES_BULK_ORACLE = f"""
+WITH win AS (
+  SELECT user_id, event_id, event_type, {_OP_SQL} AS op
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM events)
+  WHERE rn = 1)
+SELECT user_id::VARCHAR AS _id,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'index' END AS action,
+       event_id::BIGINT * 1048576 AS version,
+       '{{"' || (CASE WHEN op = 'delete' THEN 'delete' ELSE 'index' END)
+            || '":{{"_index":"events_idx","_id":"' || user_id::VARCHAR
+            || '","version":' || (event_id::BIGINT * 1048576)::VARCHAR
+            || ',"version_type":"external"}}}}' AS action_line,
+       CASE WHEN op <> 'delete'
+            THEN '{{"event_type":"' || event_type || '"}}' END AS source_line
+FROM win
+"""
+
+
 _COS_SQL = """list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
  / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
   * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"""
@@ -1966,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _doc_fingerprints,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "near_dup_clusters": _near_dup_clusters,
+        "es_bulk_actions": _es_bulk_actions,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_neardup_brute": _embedding_neardup_brute,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
@@ -2022,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _DOC_FP_ORACLE,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
+        "es_bulk_actions": _ES_BULK_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "embedding_neardup_brute": _EMB_NEARDUP_ORACLE,
         "embedding_neardup_lsh": _embedding_lsh_oracle_sql(),
