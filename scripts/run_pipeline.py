@@ -27,7 +27,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description="binlog-es-go-spark pipeline runner")
     ap.add_argument("--mode", required=True,
                     choices=["realtime", "bootstrap", "self-check", "replay-deadletters",
-                             "compact", "expire-snapshots", "stats", "replicate"])
+                             "compact", "expire-snapshots", "stats", "replicate", "export"])
     ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
@@ -57,8 +57,12 @@ def main() -> int:
     ap.add_argument("--replica", help="replicate: target lake table root")
     ap.add_argument("--from-version", type=int, default=None, help="replicate: source version floor")
     ap.add_argument("--allow-missing-deletes", action="store_true",
-                    help="replicate: accept a diff that spans a tombstone GC "
+                    help="replicate/export: accept a diff that spans a tombstone GC "
                          "(insert/update-only semantics for the GC'd range)")
+    ap.add_argument("--out", help="export: output dir for _bulk bodies (parquet)")
+    ap.add_argument("--index", default="docs", help="export: search index name")
+    ap.add_argument("--n-shards", type=int, default=None, help="export: crc32 routing shards")
+    ap.add_argument("--max-actions-per-body", type=int, default=1000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,6 +89,57 @@ def main() -> int:
             name="cli", target_table_path=args.target, key_cols=key_cols,
             n_buckets=args.n_buckets, stream_partitions=args.stream_partitions,
         )
+
+    if args.mode == "export":
+        # incremental search-index feed: snapshot diff -> ES _bulk bodies
+        # (the reference's output side, pkg/es/writer.go, as files a bulk
+        # HTTP shipper drains). Resume position rides a sidecar state file
+        # in the output dir — the exporter is a consumer and must not
+        # write into the source table's manifest.
+        import json as _json
+
+        from binlog_es_go_spark.lake.changes import snapshot_changes
+        from binlog_es_go_spark.lake.merge import ENGINE_COLS
+        from binlog_es_go_spark.lake.table import LakeTable
+        from binlog_es_go_spark.operators.search_export import bulk_bodies, bulk_index_actions
+
+        if not args.out:
+            ap.error("--out is required for --mode export")
+        table = LakeTable.load(spark, cfg.target_table_path)
+        state_path = os.path.join(args.out, "_EXPORT_STATE.json")
+        exported_through = None
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                exported_through = int(_json.load(f)["exported_through"])
+        fresh = exported_through is None
+        from_v = exported_through or 0
+        to_v = table.current_version()
+        if to_v <= from_v:
+            print(f"export up to date (source v{to_v})")
+            return 0
+        snap = table.snapshot()
+        payload_cols = [
+            f.name for f in snap.schema.fields
+            if f.name not in snap.key_cols and f.name not in ENGINE_COLS
+        ]
+        changes = snapshot_changes(
+            table, from_v, to_v,
+            allow_missing_deletes=args.allow_missing_deletes or (fresh and from_v == 0),
+        )
+        acts = bulk_index_actions(
+            changes, snap.key_cols, payload_cols, index=args.index,
+            n_shards=args.n_shards, mode="json",
+        )
+        bodies = bulk_bodies(acts, max_actions_per_body=args.max_actions_per_body)
+        out_dir = os.path.join(args.out, f"v{from_v}-v{to_v}")
+        bodies.write.parquet(out_dir, mode="errorifexists")
+        os.makedirs(args.out, exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"exported_through": to_v, "source": cfg.target_table_path}, f)
+        os.replace(tmp, state_path)
+        print(f"exported v{from_v}..v{to_v} -> {out_dir}")
+        return 0
 
     if args.mode in ("compact", "expire-snapshots", "stats", "replicate"):
         # lake maintenance (the Iceberg rewrite_data_files / expire_snapshots

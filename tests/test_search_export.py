@@ -73,3 +73,50 @@ def test_bulk_bodies_chunking(spark):
         metas = [json.loads(x) for x in lines]
         n_actions = sum(1 for m in metas if "index" in m or "delete" in m)
         assert n_actions == r["n_actions"]
+
+
+def test_cli_export_mode_incremental(spark, tmp_path):
+    """Operational loop: bootstrap a lake, export v0..vN to _bulk bodies,
+    re-run (up to date), mutate, export the increment only."""
+    import subprocess
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.events import generate_changelog
+    from binlog_es_go_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField(n, T.StringType())
+                            for n in ["repo", "path", "commit", "lang", "content"]])
+    root = str(tmp_path / "exp_src")
+    t = LakeTable.create(spark, root, payload, key_cols=["repo", "path"], n_buckets=4)
+    log = generate_changelog(spark, 600, n_repos=8, paths_per_repo=6, seed=13)
+    log.cache().count()
+    apply_batch(t, log.filter(F.col("offset") < 300), batch_id=0)
+
+    out = str(tmp_path / "bulks")
+
+    def run(args):
+        return subprocess.run(
+            ["python", "scripts/run_pipeline.py", "--mode", "export",
+             "--target", root, "--key-cols", "repo,path", "--out", out,
+             "--index", "repo_files", "--n-shards", "4", "--cores", "4"] + args,
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    r = run([])
+    assert r.returncode == 0 and "exported v0..v1" in r.stdout, r.stdout + r.stderr[-2000:]
+    first = spark.read.parquet(f"{out}/v0-v1")
+    n_first = first.agg(F.sum("n_actions")).collect()[0][0]
+    assert n_first == t.read().count(), "initial export = every visible doc"
+
+    r = run([])
+    assert r.returncode == 0 and "up to date" in r.stdout, r.stdout + r.stderr[-2000:]
+
+    apply_batch(t, log.filter(F.col("offset") >= 300), batch_id=1)
+    r = run([])
+    assert r.returncode == 0 and "exported v1..v2" in r.stdout, r.stdout + r.stderr[-2000:]
+    inc = spark.read.parquet(f"{out}/v1-v2")
+    n_inc = inc.agg(F.sum("n_actions")).collect()[0][0]
+    assert 0 < n_inc, "incremental export is non-empty"
+    body = inc.select("body").first()["body"]
+    assert '"version_type":"external"' in body
