@@ -1293,11 +1293,17 @@ def _minhash_lsh(spark, sf_dir):
 
 def _minhash_oracle_sql(
     k: int = 32, bands: int = 8, max_bucket: int = 1000,
-    threshold: float = 0.5, doc_filter: str = "doc_id < 300",
+    threshold: float = 0.5, doc_filter: str = "doc_id < 300", seed: int = 42,
 ) -> str:
+    from binlog_es_go_spark.operators.dedup import _MERSENNE, _perm_params
+
     r = k // bands
+    # md5-seeded arithmetic MinHash (dedup.minhash_signature_md5): ONE md5
+    # per shingle, k permutations as (a*h + b) mod p literals — the same
+    # (a, b) pairs the Spark side derives.
     sig_elems = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')" for i in range(k)
+        f"list_aggregate(list_transform(base, h -> (h * {a} + {b}) % {_MERSENNE}), 'min')"
+        for a, b in _perm_params(k, seed)
     )
     return rf"""
 WITH w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -1305,7 +1311,9 @@ WITH w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws
 sh AS (SELECT id, list_distinct(CASE WHEN len(ws) >= 3
          THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
          ELSE [array_to_string(ws, ' ')] END) AS shingles FROM w),
-sig AS (SELECT id, [{sig_elems}] AS sig FROM sh),
+hb AS (SELECT id, list_transform(shingles,
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE}) AS base FROM sh),
+sig AS (SELECT id, [{sig_elems}] AS sig FROM hb),
 bands AS (SELECT id, sig, bnd, md5(array_to_string(sig[bnd*{r}+1 : bnd*{r}+{r}], '|')) AS bh
           FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS bnd)),
 capped AS (SELECT id, sig, bnd, bh FROM

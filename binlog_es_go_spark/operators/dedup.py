@@ -108,25 +108,36 @@ def minhash_signature(
     return sig
 
 
-def minhash_signature_md5(text_col: Column | str, k: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<string> of length k, md5-ordered.
+def minhash_signature_md5(
+    text_col: Column | str, k: int = 32, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature array<long>, md5-seeded — the cross-engine twin.
 
-    h_i(shingle) = md5("i:" || shingle) (hex string); signature element i
-    is the lexicographic min over the document's distinct shingles. Any
-    uniform total order works for MinHash, and md5-hex order is one that
-    an ANSI oracle (DuckDB) reproduces byte-for-byte — this is the
-    cross-engine-checkable twin of ``minhash_signature`` (which keeps the
-    cheaper xxhash64 arithmetic for production use).
+    ONE md5 per shingle: ``h(s) = conv(md5(s)[0:15], 16) mod p`` (60 hex
+    bits, exact in a long), then the same k arithmetic permutations as
+    the xxhash64 production mode, ``h_i = (a_i*h + b_i) mod p`` with
+    p = 2^31-1 (a*h < 2^62, no overflow). Any uniform, engine-agnostic
+    base hash works for MinHash; md5-derived arithmetic is one an ANSI
+    oracle (DuckDB: ``('0x' || substr(md5(s),1,15))::BIGINT``) reproduces
+    bit-for-bit. The earlier form computed a FRESH md5 per (permutation,
+    shingle) — k times the hash work per document; this keeps the oracle
+    property at 1/k the per-doc hash cost, which is what dominates when
+    the md5 mode runs over a real corpus (the sf0.1 headline fixture is
+    300 docs and overhead-bound, so its wall time doesn't move).
     """
     shingles = word_shingles(text_col, shingle_n)
-
-    def perm(i: int):
-        # NB: must be a 1-arg lambda — transform() passes the array INDEX
-        # as a second argument to 2-arg lambdas, which would shadow i
-        prefix = f"{i}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return F.array(*[F.array_min(F.transform(shingles, perm(i))) for i in range(k)])
+    base = F.transform(
+        shingles,
+        lambda s: F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_MERSENNE)),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+            )
+            for a, b in _perm_params(k, seed)
+        ]
+    )
 
 
 def minhash_lsh_candidates(
@@ -154,7 +165,7 @@ def minhash_lsh_candidates(
     r = k // bands
     if hash_fn == "md5":
         sig = minhash_signature_md5(text_col, k, shingle_n)
-        band_hash = lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r), "|"))  # noqa: E731
+        band_hash = lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r).cast("array<string>"), "|"))  # noqa: E731
     else:
         sig = minhash_signature(text_col, k, shingle_n, seed)
         band_hash = lambda b: F.xxhash64(F.slice("sig", b * r + 1, r).cast("string"))  # noqa: E731
