@@ -55,18 +55,33 @@ SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 CANARY_DRIFT = float(os.environ.get("BENCH_CANARY_DRIFT", "1.20"))
 
 
-def canary_sec() -> float:
-    """Serial-floor canary: a fixed single-threaded CPU workload timed on
-    the driver. On an idle host it is constant to a few percent; when the
-    (overcommitted, 32-vCPU-guest) host is contended it stretches — so a
-    reading taken around each scaling pair separates host weather from
-    code. ~1s on this box; pure-Python integer mixing, no allocation, so
-    it measures CPU timeslice availability, nothing else."""
-    t0 = time.perf_counter()
+def _canary_loop(_arg: int) -> int:
     x = 0
     for i in range(4_000_000):
         x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFF
-    assert x >= 0
+    return x
+
+
+def canary_sec(workers: int = 1) -> float:
+    """Serial-floor canary: a fixed CPU workload timed on the driver. On
+    an idle host it is constant to a few percent; when the (overcommitted,
+    32-vCPU-guest) host is contended it stretches — so readings taken
+    around each scaling pair separate host weather from code. Pure-Python
+    integer mixing, no allocation: it measures CPU timeslice availability,
+    nothing else. ``workers`` > 1 runs the SAME workload in that many
+    forked processes and times the slowest — the multi-core probe: the
+    host can have one idle core (single-core canary clean) while unable
+    to supply 8, which is exactly the failure mode that poisons the 4N
+    side of a scaling pair (observed: local[8] at 54% of its same-day
+    peak under a clean single-core canary)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    if workers <= 1:
+        _canary_loop(0)
+    else:
+        with mp.get_context("fork").Pool(workers) as pool:
+            pool.map(_canary_loop, range(workers))
     return time.perf_counter() - t0
 
 HEADLINE = [
@@ -252,7 +267,8 @@ def main() -> None:
     cores_4n = cores_n * 4
     runs_n: list[float] = []
     runs_4n: list[float] = []
-    canaries: list[list[float]] = []  # [before, after] per pair
+    canaries: list[list[float]] = []     # single-core [before, after] per pair
+    canaries_mc: list[list[float]] = []  # cores_4n-wide [before, after] per pair
     # Sampling policy: ALWAYS run at least MIN_PAIRS interleaved pairs
     # (median needs >=3 samples to mean anything on this noisy host), then
     # keep adding pairs while the remaining budget allows a full pair —
@@ -265,23 +281,30 @@ def main() -> None:
     while True:
         pair_start = time.time()
         c_before = canary_sec()
+        mc_before = canary_sec(workers=cores_4n)
         for cores, sink in ((cores_n, runs_n), (cores_4n, runs_4n)):
             thr = cdc_replay_run(cores, events_dir, warmup_dir, CDC_EVENTS)
             sink.append(round(thr, 1))
             print(f"rep {rep} local[{cores}]: {thr:,.0f} events/s", file=sys.stderr)
         c_after = canary_sec()
+        mc_after = canary_sec(workers=cores_4n)
         canaries.append([round(c_before, 3), round(c_after, 3)])
-        print(f"rep {rep} canary: {c_before:.2f}s / {c_after:.2f}s", file=sys.stderr)
+        canaries_mc.append([round(mc_before, 3), round(mc_after, 3)])
+        print(f"rep {rep} canary: {c_before:.2f}s / {c_after:.2f}s "
+              f"(x{cores_4n}: {mc_before:.2f}s / {mc_after:.2f}s)", file=sys.stderr)
         pair_cost = time.time() - pair_start
         rep += 1
-        # Pair hygiene: a pair is CLEAN when both its canary readings are
-        # within CANARY_DRIFT of the best reading seen this session (the
-        # best approximates the idle serial floor). Contended pairs are
-        # kept in the artifact — flagged, never headline.
+        # Pair hygiene: a pair is CLEAN when BOTH canary kinds' readings
+        # (single-core serial floor AND the cores_4n-wide probe) are
+        # within CANARY_DRIFT of the best seen this session (the bests
+        # approximate the idle floors). Contended pairs are kept in the
+        # artifact — flagged, never headline.
         c_best = min(c for pair in canaries for c in pair)
+        mc_best = min(c for pair in canaries_mc for c in pair)
         clean = [
-            i for i, pair in enumerate(canaries)
-            if max(pair) <= CANARY_DRIFT * c_best
+            i for i in range(len(canaries))
+            if max(canaries[i]) <= CANARY_DRIFT * c_best
+            and max(canaries_mc[i]) <= CANARY_DRIFT * mc_best
         ]
         elapsed = time.time() - bench_t0
         if rep < max(REPS, MIN_PAIRS):
@@ -294,8 +317,11 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     c_best = min(c for pair in canaries for c in pair)
+    mc_best = min(c for pair in canaries_mc for c in pair)
     clean_pairs = [
-        i for i, pair in enumerate(canaries) if max(pair) <= CANARY_DRIFT * c_best
+        i for i in range(len(canaries))
+        if max(canaries[i]) <= CANARY_DRIFT * c_best
+        and max(canaries_mc[i]) <= CANARY_DRIFT * mc_best
     ]
     flagged_pairs = [i for i in range(len(canaries)) if i not in clean_pairs]
     # Headline throughputs come from CLEAN pairs when any exist: the peak
@@ -358,7 +384,9 @@ def main() -> None:
             # excluded from the headline throughputs/efficiency.
             "canary": {
                 "readings": canaries,
+                "readings_multicore": canaries_mc,
                 "best": round(c_best, 3),
+                "best_multicore": round(mc_best, 3),
                 "drift_threshold": CANARY_DRIFT,
                 "clean_pairs": clean_pairs,
                 "flagged_pairs": flagged_pairs,
