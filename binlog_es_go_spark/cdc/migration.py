@@ -104,9 +104,26 @@ def _covered(pos: GoPosition, parsed_gtids, w: TxWatermark) -> bool:
         raise ValueError(
             f"saved position is (file, pos)-based but watermark {w} has no file/pos"
         )
-    # binlog file names order lexicographically within a series
-    # (mysql-bin.000001 < mysql-bin.000002); pos orders within a file
-    return (w.file, w.pos) <= (pos.file, pos.pos)
+    # Binlog files order by the NUMERIC index, not the string: at the
+    # index-width rollover ('mysql-bin.999999' -> 'mysql-bin.1000000')
+    # lexicographic order inverts, which would judge post-save
+    # transactions "covered" and set cutover floors too high (skipped
+    # transactions — the exact invariant this module exists to protect).
+    return (_binlog_file_key(w.file), w.pos) <= (_binlog_file_key(pos.file), pos.pos)
+
+
+def _binlog_file_key(name: str) -> tuple[str, int]:
+    """(basename, numeric index) sort key for a binlog file name.
+
+    MySQL names series files ``<basename>.<NNNNNN>`` and grows the digit
+    width past 999999 rather than wrapping, so the trailing digits parsed
+    as an int are the series order. Non-numeric suffixes (should not
+    occur) fall back to index -1 so they can never cover a real position.
+    """
+    base, _, suffix = name.rpartition(".")
+    if suffix.isdigit():
+        return (base, int(suffix))
+    return (name, -1)
 
 
 def cutover_floors(saved: GoPosition, watermarks: list[TxWatermark]) -> CutoverFloors:

@@ -200,6 +200,7 @@ def start_config_tail(
     checkpoint_dir: str,
     trigger: dict | None = None,
     on_error: Callable[[int, DataFrame, Exception], None] | None = None,
+    schema_refresh_batches: int = 64,
 ) -> StreamingQuery:
     """Streaming tail fully driven by a SyncTaskConfig — the analog of the
     reference's ``runEventLoop`` + flush with relatedQuery/deleteOnMissing
@@ -216,25 +217,53 @@ def start_config_tail(
     # batches (the reference re-queries MySQL on every flush,
     # pkg/realtime/flush.go:39), and a DataFrame pinned at stream start
     # would recompute against a stale snapshot forever.
-    main_schema = (
-        spark.read.parquet(cfg.main_table_path).schema
-        if cfg.main_table_path is not None
-        else None
-    )
+    # The SCHEMA is refreshed every `schema_refresh_batches` batches and
+    # once more on a failing batch before it dead-letters: columns added
+    # to the source table mid-stream (the reference re-queries MySQL per
+    # flush and sees DDL immediately) flow into recomputes within one
+    # refresh window instead of requiring a tail restart.
+    def _infer_schema():
+        return (
+            spark.read.parquet(cfg.main_table_path).schema
+            if cfg.main_table_path is not None
+            else None
+        )
+
+    state = {"schema": _infer_schema(), "n": 0}
+
+    def _run(batch_df: DataFrame, batch_id: int) -> None:
+        main_src = (
+            spark.read.schema(state["schema"]).parquet(cfg.main_table_path)
+            if state["schema"] is not None
+            else None
+        )
+        process_config_batch(
+            spark, cfg, table, batch_df, batch_id, mapper=mapper, main_src=main_src
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        state["n"] += 1
+        if state["schema"] is not None and state["n"] % schema_refresh_batches == 0:
+            state["schema"] = _infer_schema()
         try:
-            main_src = (
-                spark.read.schema(main_schema).parquet(cfg.main_table_path)
-                if main_schema is not None
-                else None
-            )
-            process_config_batch(
-                spark, cfg, table, batch_df, batch_id, mapper=mapper, main_src=main_src
-            )
+            _run(batch_df, batch_id)
         except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+            # A stale pinned schema is one known failure cause; retry once
+            # against a freshly inferred one before giving the batch up.
+            retried = False
+            if state["schema"] is not None:
+                fresh = _infer_schema()
+                if fresh != state["schema"]:
+                    state["schema"] = fresh
+                    retried = True
+            if retried:
+                try:
+                    _run(batch_df, batch_id)
+                    return
+                except Exception as exc2:  # noqa: BLE001
+                    exc = exc2
             if on_error is None:
-                raise
+                raise exc
             on_error(batch_id, batch_df, exc)
 
     writer = changelog.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
