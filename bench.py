@@ -14,7 +14,7 @@ same plan — runs at local[N] and local[4N] with shuffle partitions scaled
 proportionally; efficiency = (throughput_4N / throughput_N) / 4.
 
 Measurement hygiene on this sandbox (virtualized, host capacity
-fluctuates by minutes): >=BENCH_MIN_PAIRS (3) interleaved N/4N pairs,
+fluctuates by minutes): >=BENCH_MIN_PAIRS (6) interleaved N/4N pairs,
 each run in a fresh session with an untimed warmup batch (pays
 JIT/codegen once). A SERIAL-FLOOR CANARY (fixed single-core workload)
 runs before and after every pair; pairs whose canary drifts >20% off the
@@ -46,7 +46,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # amortization (serial floor ~2.5s is ~10% of the 2-core run at 20M).
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "20000000"))
 WARMUP_EVENTS = int(os.environ.get("BENCH_WARMUP_EVENTS", "200000"))
-MIN_PAIRS = int(os.environ.get("BENCH_MIN_PAIRS", "3"))
+MIN_PAIRS = int(os.environ.get("BENCH_MIN_PAIRS", "6"))
 REPS = int(os.environ.get("BENCH_REPS", "1"))
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 # A scaling pair whose canary reading (below) exceeds the session's best
@@ -100,8 +100,7 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "sessionize_events",
     "cdc_replay_events",
-    "token_counts",
-    "quality_scores",
+    "doc_quality_tokens",
     # round 3: the ops most likely to dominate a real corpus run get
     # tracked numbers so regressions become visible (VERDICT r2 #8)
     "minhash_lsh_near_dups",
@@ -225,6 +224,18 @@ def cdc_tail_bench(cores: int) -> dict:
             rewrote += r.rewritten_files or 0
             carried += r.carried_files or 0
         wall = time.time() - t0
+        # The auto write mode delta-appends these batches (merge-on-read):
+        # per-batch cost is O(batch), and the rewrite debt is paid ONCE by
+        # the fold. Report BOTH so the headline number can't hide the
+        # amortized cost: sec_per_batch_total = delta apply + fold/batches.
+        n_deltas = len(table.snapshot().deltas or [])
+        fold_sec = 0.0
+        if n_deltas:
+            from binlog_es_go_spark.lake.maintenance import compact_deltas
+
+            f0 = time.time()
+            compact_deltas(table, salt_partitions=512)
+            fold_sec = time.time() - f0
         shutil.rmtree(root, ignore_errors=True)
         return {
             "base_rows": base_rows,
@@ -235,6 +246,9 @@ def cdc_tail_bench(cores: int) -> dict:
             "events_per_sec": round(n_batches * n_events / wall, 1),
             "files_rewritten": rewrote,
             "files_carried": carried,
+            "delta_commits": n_deltas,
+            "fold_sec": round(fold_sec, 2),
+            "sec_per_batch_total": round((wall + fold_sec) / n_batches, 3),
         }
     finally:
         spark.stop()
@@ -274,7 +288,11 @@ def main() -> None:
     # keep adding pairs while the remaining budget allows a full pair —
     # and keep going while NO clean pair exists yet (a contention-flagged
     # re-run trail beats a silently poisoned number).
-    budget = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
+    # Round-5: 6-8 pairs (was 3). The r4 driver session ran 3 pairs on a
+    # contended host and 2 of 3 flagged — the sample was too small to
+    # contain a clean pair reliably. More pairs also tightens the peak
+    # estimator (max over clean pairs at each level).
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "1000"))
     bench_t0 = time.time()
     rep = 0
     pair_cost = None
@@ -282,7 +300,12 @@ def main() -> None:
         pair_start = time.time()
         c_before = canary_sec()
         mc_before = canary_sec(workers=cores_4n)
-        for cores, sink in ((cores_n, runs_n), (cores_4n, runs_4n)):
+        # Alternate N-first / 4N-first between pairs: monotone host drift
+        # within a pair would otherwise bias the same side every time.
+        order = ((cores_n, runs_n), (cores_4n, runs_4n))
+        if rep % 2 == 1:
+            order = order[::-1]
+        for cores, sink in order:
             thr = cdc_replay_run(cores, events_dir, warmup_dir, CDC_EVENTS)
             sink.append(round(thr, 1))
             print(f"rep {rep} local[{cores}]: {thr:,.0f} events/s", file=sys.stderr)

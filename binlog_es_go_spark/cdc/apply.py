@@ -35,6 +35,15 @@ from binlog_es_go_spark.lake.table import LakeTable
 OFFSETS_PROP = "stream_offsets"  # properties key: {partition_id: max offset applied}
 LINEAGE_PROP = "lineage"         # properties key: list of per-batch metric rows
 
+# Auto write-mode floor: a batch whose copy-on-write rewrite would move
+# less than this many base-file bytes just rewrites (cheap, keeps the
+# table delta-free); above it, AND when the rewrite is >=32x the batch's
+# own size, the merge-on-read delta path wins (see apply_batch).
+DELTA_MIN_REWRITE_BYTES = 8 << 20
+# ...and the rewrite must amplify the batch by at least this factor
+# (batch size proxied at ~1 KB/key) before delta wins.
+DELTA_MIN_AMPLIFICATION = 32
+
 
 def partition_offsets(changelog: DataFrame) -> dict[str, int]:
     """Per-source-partition max offset of a batch (GTID-set analog)."""
@@ -104,8 +113,27 @@ def apply_batch(
     affected_buckets: list[int] | None = None,
     precomputed_offsets: dict[str, int] | None = None,
     extra_properties: dict | None = None,
+    write_mode: str = "auto",
+    delta_max_batch_keys: int = 20_000,
+    delta_fold_after: int = 32,
 ) -> MergeResult:
     """Apply one changelog micro-batch to the lake table.
+
+    ``write_mode``:
+
+    * ``"rewrite"`` — copy-on-write MERGE (merge_into): every base file a
+      batch key might live in is rewritten. O(files touched) per batch.
+    * ``"delta"`` — merge-on-read append (merge_into_delta): the batch's
+      winners land as one small delta file, no base file touched.
+      O(batch) per batch; readers resolve by the same (offset, seq) guard.
+    * ``"auto"`` (default) — delta when the batch is PROVABLY small
+      (every bucket's key set exact under the prune cap and total keys <=
+      ``delta_max_batch_keys``), rewrite otherwise. Once
+      ``delta_fold_after`` delta commits have accumulated, the debt is
+      folded (maintenance.compact_deltas) before the next delta append —
+      so steady-state tail cost is O(batch) per commit plus one amortized
+      rewrite every ``delta_fold_after`` commits, and read-side resolve
+      work stays bounded.
 
     ``mapper``: optional enrichment/field-mapping stage (the analog of the
     reference's mapping SQL, ``pkg/db/mysql.go:124-180``) applied to the
@@ -201,15 +229,42 @@ def apply_batch(
             **(extra_properties or {}),
         }
 
-    result = merge_into(
-        table,
-        flat,
-        already_deduped=mapper is not None,
-        affected_buckets=buckets,
-        salt_partitions=salt_partitions,
-        properties_fn=props_after_write,
-        bucket_khashes=kinfo,
-    )
+    use_delta = write_mode == "delta"
+    if write_mode == "auto" and kinfo:
+        exact = all(i.khashes is not None for i in kinfo.values())
+        if exact:
+            from binlog_es_go_spark.lake.merge import estimate_overlap_bytes
+
+            n_keys = sum(len(i.khashes) for i in kinfo.values())
+            overlap = estimate_overlap_bytes(snap, kinfo)
+            # delta pays off when the rewrite would move far more bytes
+            # than the batch carries (~1 KB/key is generous); bulk loads
+            # and cheap surgical rewrites keep the copy-on-write path
+            use_delta = (
+                n_keys <= delta_max_batch_keys
+                and overlap >= DELTA_MIN_REWRITE_BYTES
+                and overlap >= DELTA_MIN_AMPLIFICATION * n_keys * 1024
+            )
+    if use_delta:
+        if len(snap.deltas or []) >= delta_fold_after:
+            # fold the accumulated delta debt ONCE, then append — the
+            # amortized rewrite that keeps reader resolve work bounded
+            from binlog_es_go_spark.lake.maintenance import compact_deltas
+
+            compact_deltas(table, salt_partitions=salt_partitions)
+        from binlog_es_go_spark.lake.merge import merge_into_delta
+
+        result = merge_into_delta(table, flat, properties_fn=props_after_write)
+    else:
+        result = merge_into(
+            table,
+            flat,
+            already_deduped=mapper is not None,
+            affected_buckets=buckets,
+            salt_partitions=salt_partitions,
+            properties_fn=props_after_write,
+            bucket_khashes=kinfo,
+        )
     result.wall_sec = time.time() - t0
     return result
 

@@ -46,11 +46,23 @@ class TombstoneRetentionError(ValueError):
 
 
 def changed_buckets(table: LakeTable, from_version: int, to_version: int) -> list[int]:
-    """Buckets whose file lists differ between the two manifests."""
+    """Buckets whose file lists differ between the two manifests, plus the
+    buckets touched by merge-on-read delta files added or removed between
+    them (delta rows change a bucket's state without changing its base
+    file list)."""
     s_from = table.snapshot(from_version)
     s_to = table.snapshot(to_version)
     all_b = set(s_from.buckets) | set(s_to.buckets)
-    return sorted(b for b in all_b if s_from.buckets.get(b) != s_to.buckets.get(b))
+    out = {b for b in all_b if s_from.buckets.get(b) != s_to.buckets.get(b)}
+    d_from, d_to = set(s_from.deltas or []), set(s_to.deltas or [])
+    dmaps = {**(s_from.delta_buckets or {}), **(s_to.delta_buckets or {})}
+    for rel in d_from ^ d_to:
+        touched = dmaps.get(rel)
+        if touched is None:
+            # unknown span (pre-map manifest): conservatively all buckets
+            return sorted(set(range(s_to.n_buckets)) | out)
+        out.update(int(b) for b in touched)
+    return sorted(out)
 
 
 def changed_file_sets(
@@ -117,8 +129,11 @@ def snapshot_changes(
             f"allow_missing_deletes=True for insert/update-only semantics."
         )
     key_cols = snap.key_cols
+    s_from = table.snapshot(from_version)
+    has_deltas = bool(s_from.deltas or []) or bool(snap.deltas or [])
     old_files, new_files = changed_file_sets(table, from_version, to_version)
-    if not old_files and not new_files:
+    diff_buckets = changed_buckets(table, from_version, to_version) if has_deltas else []
+    if not old_files and not new_files and not diff_buckets:
         return _empty_changelog(table, to_version)
 
     payload_cols = [
@@ -128,6 +143,21 @@ def snapshot_changes(
     ]
 
     def side(version: int, tag: str, with_payload: bool) -> DataFrame:
+        if has_deltas:
+            # Merge-on-read deltas break the key-in-one-file invariant the
+            # file-granular diff rests on (a key's state is the guard
+            # winner across base∪delta, and a winning delta row can shadow
+            # a SHARED base file's row). Fall back to bucket-granular
+            # resolved reads of the changed buckets — exact, O(changed
+            # buckets); diffs return to file-granular once compact_deltas
+            # folds the debt.
+            return _side_cols(
+                table.read(
+                    buckets=diff_buckets, include_deleted=True, version=version,
+                    resolve_deltas=True,
+                ),
+                tag, with_payload,
+            )
         # File-granular incremental read: only the files this version
         # does NOT share with the other side (see changed_file_sets for
         # why shared files cannot contribute diff rows).
@@ -136,6 +166,9 @@ def snapshot_changes(
             include_deleted=True,
             version=version,
         )
+        return _side_cols(df, tag, with_payload)
+
+    def _side_cols(df: DataFrame, tag: str, with_payload: bool) -> DataFrame:
         vis = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         cols = [
             *key_cols,

@@ -109,7 +109,68 @@ def compact(
         properties_fn=props_after_write,
         n_write_groups=k,
     )
+    # A FULL compaction read every bucket with delta resolution on, so all
+    # pending delta rows are folded into the rewritten base — reclaim the
+    # delta files captured at fold start (later concurrent delta commits
+    # stay listed). Partial compactions leave deltas: unfolded buckets
+    # still need their rows, and folded rows tie away harmlessly.
+    if buckets is None and (snap.deltas or []):
+        new_snap = _drop_deltas_retrying(table, snap.deltas)
     return new_snap.version
+
+
+def compact_deltas(table: LakeTable, salt_partitions: int | None = None) -> int | None:
+    """Fold pending merge-on-read deltas into base files and reclaim them —
+    the maintenance half of the delta-apply trade (see
+    ``merge.merge_into_delta``): the tail writes O(batch) deltas, this
+    periodically pays the rewrite ONCE for the accumulated debt instead of
+    per batch.
+
+    The fold is the standard guarded MERGE with the delta rows replayed as
+    a changelog (their persisted (last_offset, last_seq, last_op) become
+    the batch's (offset, seq, op)), so it is idempotent and correct under
+    replay/crash: a crash after the fold commit but before the delta-drop
+    commit leaves folded rows tying with their base copies — base wins
+    ties — until the next compaction reclaims them. Returns the new
+    version, or None when no deltas were pending.
+    """
+    from binlog_es_go_spark.lake.merge import ENGINE_COLS, merge_into
+    from binlog_es_go_spark.lake.table import KHASH_COL
+
+    snap = table.snapshot()
+    rels = list(snap.deltas or [])
+    if not rels:
+        return None
+    delta = table.delta_rows(version=snap.version, delta_files=rels)
+    keep = [
+        f.name for f in snap.schema.fields
+        if f.name not in ENGINE_COLS and f.name != KHASH_COL
+    ]
+    src = delta.selectExpr(
+        *[f"`{c}`" for c in keep],
+        "last_offset AS offset",
+        "CAST(coalesce(last_seq, 0) AS int) AS seq_in_tx",
+        f"CASE WHEN coalesce(`{DELETED_COL}`, false) THEN 'delete' "
+        "ELSE coalesce(last_op, 'update') END AS op",
+        "updated_at AS ts",
+    )
+    merge_into(table, src, salt_partitions=salt_partitions)
+    return _drop_deltas_retrying(table, rels).version
+
+
+def _drop_deltas_retrying(table: LakeTable, rels: list[str], retries: int = 5):
+    import time as _time
+
+    from binlog_es_go_spark.lake.table import CommitConflict
+
+    for attempt in range(retries):
+        try:
+            return table.drop_deltas(rels)
+        except CommitConflict:
+            if attempt == retries - 1:
+                raise
+            _time.sleep(0.2 * (2**attempt))
+    raise AssertionError("unreachable")
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 2, min_age_sec: float = 600.0) -> list[str]:
@@ -138,6 +199,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, min_age_sec: float = 
             continue
         for files in snap.buckets.values():
             referenced.update(files)
+        referenced.update(snap.deltas or [])
 
     removed = []
     now = _time.time()

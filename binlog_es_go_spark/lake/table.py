@@ -99,6 +99,19 @@ class Snapshot:
     # rewrites instead of the layout dial (see _merge_once), and feeds
     # size-aware compaction policies. Absent for older manifests.
     file_sizes: dict[str, int] = None  # type: ignore[assignment]
+    # Merge-on-read DELTA files (relative paths, one small file per delta
+    # commit, spanning buckets): rows appended by the no-rewrite tail
+    # path. A key may live in base files AND deltas simultaneously; reads
+    # resolve by the (last_offset, last_seq) guard with base winning full
+    # ties (see LakeTable.read). Bounded by the delta-fold policy in
+    # cdc/apply.py + maintenance.compact_deltas. Absent pre-round-5.
+    deltas: list[str] = None  # type: ignore[assignment]
+    # delta file -> sorted bucket ids its rows hash into (recorded at
+    # append time via an Observation on the write job — zero extra jobs):
+    # lets snapshot diffs and maintenance scope delta work to O(touched
+    # buckets) instead of O(table). Missing entries degrade to "could be
+    # any bucket" (conservative).
+    delta_buckets: dict[str, list[int]] = None  # type: ignore[assignment]
 
 
 class LakeTable:
@@ -132,6 +145,8 @@ class LakeTable:
             stats={"rows": 0},
             file_stats={},
             file_sizes={},
+            deltas=[],
+            delta_buckets={},
         )
         table._write_manifest(snap)
         table._swap_version(0, expected_parent=None)
@@ -192,6 +207,8 @@ class LakeTable:
             stats=m.get("stats", {}),
             file_stats=m.get("file_stats", {}),
             file_sizes=m.get("file_sizes", {}),
+            deltas=m.get("deltas", []),
+            delta_buckets=m.get("delta_buckets", {}),
         )
 
     def _write_manifest(self, snap: Snapshot) -> None:
@@ -206,6 +223,8 @@ class LakeTable:
             "stats": snap.stats,
             "file_stats": snap.file_stats or {},
             "file_sizes": snap.file_sizes or {},
+            "deltas": snap.deltas or [],
+            "delta_buckets": snap.delta_buckets or {},
         }
         path = os.path.join(self.root, f"manifest-{snap.version}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -292,6 +311,7 @@ class LakeTable:
         version: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
         files: list[str] | None = None,
+        resolve_deltas: bool | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally pruned to specific buckets and/or
         by per-file column statistics — see :meth:`files_for`).
@@ -301,8 +321,15 @@ class LakeTable:
         ``files`` (relative paths from the snapshot's own listing)
         overrides bucket/stats pruning entirely — the file-granular COW
         read path, where merge.py has already picked the exact overlap set.
+
+        ``resolve_deltas``: fold pending merge-on-read delta rows (see
+        :meth:`append_delta`) into the result by the (offset, seq) guard.
+        Default: on for logical reads (``files=None``), off for explicit
+        file scans — merge.py folds deltas itself with bucket scoping.
         """
         snap = self.snapshot(version)
+        if resolve_deltas is None:
+            resolve_deltas = files is None
         rels = (
             list(files)
             if files is not None
@@ -322,9 +349,141 @@ class LakeTable:
             # read-compatible with every live file.
             df = self.spark.read.schema(snap.schema).parquet(*files)
             df = align_to_schema(df, snap.schema)
+        if resolve_deltas and (snap.deltas or []):
+            delta = self.delta_rows(version=version, buckets=buckets)
+            df = resolve_merge_on_read(df, delta, snap.key_cols)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df
+
+    def delta_rows(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        delta_files: list[str] | None = None,
+    ) -> DataFrame:
+        """Pending merge-on-read delta rows (schema-aligned, tombstones
+        included). Small by construction — the fold policy bounds how much
+        delta a snapshot can carry (cdc/apply.py)."""
+        snap = self.snapshot(version)
+        rels = snap.deltas if delta_files is None else delta_files
+        if not rels:
+            return self.spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.root, p) for p in rels]
+        df = align_to_schema(self.spark.read.schema(snap.schema).parquet(*paths), snap.schema)
+        if buckets is not None:
+            df = df.filter(
+                bucket_expr(snap.key_cols, snap.n_buckets).isin([int(b) for b in buckets])
+            )
+        return df
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, Any] | None = None,
+        expected_version: int | None = None,
+        properties_fn=None,
+        new_schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit: append ``df`` (already normalized to the
+        engine row shape — payload + last_offset/last_seq/last_op/_deleted/
+        updated_at) as ONE small delta file, touching no base file.
+
+        The write is O(batch): no target read, no guard window, no
+        rewrite. The (offset, seq) guard DEFERS to read time — readers
+        resolve base∪delta per key by max (last_offset, last_seq), base
+        winning full ties, which is exactly the rewrite-merge's window
+        order, so delta-then-read equals merge-then-read (pinned in
+        tests/test_delta_merge.py). A crash-replayed delta commit appends
+        identical rows that lose/tie the same resolution — idempotent in
+        effect, and folded away by compact_deltas.
+        """
+        base = self.snapshot(expected_version)
+        schema = new_schema or base.schema
+        commit_id = uuid.uuid4().hex
+        rel_dir = os.path.join("data", commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+
+        out = df.withColumn(KHASH_COL, khash_expr(base.key_cols))
+        out = align_to_schema(out, schema).select(*[f.name for f in schema.fields])
+        # ONE file, khash-sorted: point lookups prune deltas by the same
+        # footer range machinery as base files; a 200-event batch is a
+        # single ~10 KB parquet object however many buckets it spans.
+        # The touched-bucket set rides the write job as an Observation
+        # (zero extra jobs) into the manifest's delta_buckets map.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(
+            obs, F.collect_set(F.pmod(F.col(KHASH_COL), F.lit(base.n_buckets)).cast("int")).alias("bks")
+        )
+        out.coalesce(1).sortWithinPartitions(KHASH_COL).write.parquet(out_dir, mode="errorifexists")
+        touched = sorted(int(b) for b in (obs.get.get("bks") or []))
+
+        rels, sizes = [], {}
+        for dirpath, _, fns in os.walk(out_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    rels.append(rel)
+                    try:
+                        sizes[rel] = os.path.getsize(full)
+                    except OSError:
+                        pass
+        file_stats = dict(base.file_stats or {})
+        file_stats.update(_harvest_file_stats(self.root, rels, schema))
+        file_sizes = dict(base.file_sizes or {})
+        file_sizes.update(sizes)
+
+        props = dict(base.properties)
+        props.update(properties_update or {})
+        if properties_fn is not None:
+            props.update(properties_fn(dict(base.properties)) or {})
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            key_cols=base.key_cols,
+            n_buckets=base.n_buckets,
+            schema=schema,
+            buckets=dict(base.buckets),
+            properties=props,
+            stats={"rows": None, "committed_at": time.time()},
+            file_stats=file_stats,
+            file_sizes=file_sizes,
+            deltas=list(base.deltas or []) + sorted(rels),
+            delta_buckets={**(base.delta_buckets or {}), **{r: touched for r in rels}},
+        )
+        self._write_manifest(snap)
+        self._swap_version(snap.version, expected_parent=base.version)
+        return snap
+
+    def drop_deltas(self, delta_files: list[str], expected_version: int | None = None) -> Snapshot:
+        """Metadata-only commit removing folded delta files from the
+        listing (compact_deltas runs this AFTER its fold commit succeeds;
+        a crash in between leaves the deltas listed, which is correct —
+        folded rows tie with their base copies and base wins ties — just
+        unfolded-looking until the next compaction)."""
+        base = self.snapshot(expected_version)
+        drop = set(delta_files)
+        keep = [d for d in (base.deltas or []) if d not in drop]
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            key_cols=base.key_cols,
+            n_buckets=base.n_buckets,
+            schema=base.schema,
+            buckets=dict(base.buckets),
+            properties=dict(base.properties),
+            stats={"rows": None, "committed_at": time.time()},
+            file_stats={p: s for p, s in (base.file_stats or {}).items() if p not in drop},
+            file_sizes={p: s for p, s in (base.file_sizes or {}).items() if p not in drop},
+            deltas=keep,
+            delta_buckets={r: b for r, b in (base.delta_buckets or {}).items() if r not in drop},
+        )
+        self._write_manifest(snap)
+        self._swap_version(snap.version, expected_parent=base.version)
+        return snap
 
     def row_count(self) -> int:
         return self.read().count()
@@ -423,7 +582,7 @@ class LakeTable:
         # Per-file column stats: harvest parquet footer min/max for the
         # files this commit wrote (driver-local metadata reads, no Spark
         # job), carry forward surviving files' stats, drop replaced ones.
-        live = {p for fl in buckets.values() for p in fl}
+        live = {p for fl in buckets.values() for p in fl} | set(base.deltas or [])
         file_stats = {p: st for p, st in (base.file_stats or {}).items() if p in live}
         file_sizes = {p: sz for p, sz in (base.file_sizes or {}).items() if p in live}
         file_sizes.update(new_sizes)
@@ -453,6 +612,8 @@ class LakeTable:
             stats={"rows": None, "committed_at": time.time()},
             file_stats=file_stats,
             file_sizes=file_sizes,
+            deltas=list(base.deltas or []),
+            delta_buckets=dict(base.delta_buckets or {}),
         )
         self._write_manifest(snap)
         self._swap_version(snap.version, expected_parent=base.version)
@@ -496,26 +657,76 @@ class LakeTable:
             kh = zlib.crc32(joined.encode("utf-8"))
             want.append((kh % snap.n_buckets, kh, joined))
 
+        import bisect
+
         fstats = snap.file_stats or {}
+
+        def may_contain(rel: str, hashes: list[int]) -> bool:
+            st = fstats.get(rel, {}).get(KHASH_COL)
+            if st and st[0] is not None and st[1] is not None and not st[2]:
+                i = bisect.bisect_left(hashes, int(st[0]))
+                return i < len(hashes) and hashes[i] <= int(st[1])
+            return True  # no stats: conservatively read
+
         files: list[str] = []
         for b in sorted({w[0] for w in want}):
             hashes = sorted(w[1] for w in want if w[0] == b)
-            for rel in snap.buckets.get(b, []):
-                st = fstats.get(rel, {}).get(KHASH_COL)
-                if st and st[0] is not None and st[1] is not None and not st[2]:
-                    import bisect
+            files.extend(
+                rel for rel in snap.buckets.get(b, []) if may_contain(rel, hashes)
+            )
 
-                    i = bisect.bisect_left(hashes, int(st[0]))
-                    if not (i < len(hashes) and hashes[i] <= int(st[1])):
-                        continue  # provably cannot contain any wanted key
-                files.append(rel)
-
-        df = self.read(files=files, include_deleted=include_deleted, version=version)
+        df = self.read(files=files, include_deleted=True, version=version,
+                       resolve_deltas=False)
+        # Pending deltas can hold a newer version of a looked-up key (or
+        # its tombstone): fold the khash-pruned delta files in by the same
+        # guard resolution a logical read uses.
+        all_hashes = sorted({w[1] for w in want})
+        dfiles = [rel for rel in (snap.deltas or []) if may_contain(rel, all_hashes)]
+        if dfiles:
+            df = resolve_merge_on_read(
+                df, self.delta_rows(version=version, delta_files=dfiles), snap.key_cols
+            )
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         joined_expr = F.concat_ws(
             KEY_SEP,
             *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in snap.key_cols],
         )
         return df.filter(joined_expr.isin([w[2] for w in want]))
+
+
+def resolve_merge_on_read(base: DataFrame, delta: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold pending delta rows into a base scan by the (offset, seq)
+    guard — the read-side of the write-side window in merge.py, same
+    ordering, base winning full ties (a folded-then-lingering delta row
+    is byte-identical to its base copy, so the tie-break only picks which
+    identical row survives).
+
+    Scale shape: base rows whose key has NO delta pass through untouched
+    via a broadcast LEFT ANTI against the (small, fold-policy-bounded)
+    delta key set; only the touched slice pays the window. At 100 TB a
+    single pending delta row costs one broadcast anti-join over the scan,
+    not a table-wide shuffle.
+    """
+    from pyspark.sql import Window
+
+    dkeys = delta.select(*key_cols).distinct()
+    untouched = base.join(F.broadcast(dkeys), on=key_cols, how="left_anti")
+    touched = base.join(F.broadcast(dkeys), on=key_cols, how="left_semi")
+    combined = touched.withColumn("_is_base", F.lit(1)).unionByName(
+        delta.withColumn("_is_base", F.lit(0))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("last_offset").desc_nulls_last(),
+        F.coalesce(F.col("last_seq"), F.lit(0)).desc(),
+        F.col("_is_base").desc(),
+    )
+    winners = (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_base")
+    )
+    return untouched.unionByName(winners)
 
 
 _STATS_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
@@ -538,6 +749,13 @@ def _harvest_file_stats(root: str, rel_paths: list[str], schema: T.StructType) -
         except Exception:  # noqa: BLE001 — stats are best-effort
             continue
         colstats: dict[str, list] = {}
+        # A column whose stats are missing in ANY row group must not get
+        # file-level bounds from the row groups that do have them: the
+        # partial range under-covers, and file-granular COW uses these
+        # bounds for CORRECTNESS (a file judged key-free is carried, so an
+        # under-covering range could leave a key live in two files). No
+        # stats = unprunable = conservatively rewritten.
+        partial: set[str] = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -547,12 +765,14 @@ def _harvest_file_stats(root: str, rel_paths: list[str], schema: T.StructType) -
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    partial.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes) or isinstance(mx, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except Exception:  # noqa: BLE001
+                        partial.add(name)
                         continue
                 nulls = int(st.null_count or 0)
                 prev = colstats.get(name)
@@ -560,6 +780,8 @@ def _harvest_file_stats(root: str, rel_paths: list[str], schema: T.StructType) -
                     colstats[name] = [mn, mx, nulls]
                 else:
                     colstats[name] = [min(prev[0], mn), max(prev[1], mx), prev[2] + nulls]
+        for name in partial:
+            colstats.pop(name, None)
         if colstats:
             out[rel] = colstats
     return out
