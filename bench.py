@@ -214,7 +214,11 @@ def cdc_tail_bench(cores: int) -> dict:
         batches = []
         for i in range(n_batches):
             ev = generate_changelog(spark, n_events, n_repos=5000, paths_per_repo=400, seed=50 + i)
-            ev = ev.withColumn("offset", F.col("offset") + (10_000_000 + i * 100_000))
+            # one partition: the shape a real 200-event micro-batch arrives
+            # in (one changelog file / one broker poll), not the generator's
+            # parallelism — scheduling 32 source tasks per tiny batch was
+            # pure overhead in the measured per-batch floor
+            ev = ev.withColumn("offset", F.col("offset") + (10_000_000 + i * 100_000)).coalesce(1)
             ev.cache().count()
             batches.append(ev)
         t0 = time.time()
