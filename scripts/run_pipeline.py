@@ -27,7 +27,8 @@ def main() -> int:
     ap = argparse.ArgumentParser(description="binlog-es-go-spark pipeline runner")
     ap.add_argument("--mode", required=True,
                     choices=["realtime", "bootstrap", "self-check", "replay-deadletters",
-                             "compact", "expire-snapshots", "stats", "replicate", "export"])
+                             "compact", "expire-snapshots", "stats", "replicate", "export",
+                             "compact-deltas"])
     ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
@@ -63,6 +64,14 @@ def main() -> int:
     ap.add_argument("--index", default="docs", help="export: search index name")
     ap.add_argument("--n-shards", type=int, default=None, help="export: crc32 routing shards")
     ap.add_argument("--max-actions-per-body", type=int, default=1000)
+    ap.add_argument("--ship-url", default=None,
+                    help="export: POST the bodies to this search cluster's /_bulk from "
+                         "the executors (retry ladder + 413 splitting; delivery report "
+                         "written next to the bodies) instead of only writing files")
+    ap.add_argument("--action-shape", default="index", choices=["index", "update"],
+                    help="export: 'index' = external-version full-doc replace (wholesale "
+                         "cutover); 'update' = the Go writer's doc_as_upsert stream "
+                         "(safe to interleave with the reference during dual-writing)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,17 +137,42 @@ def main() -> int:
         )
         acts = bulk_index_actions(
             changes, snap.key_cols, payload_cols, index=args.index,
-            n_shards=args.n_shards, mode="json",
+            n_shards=args.n_shards, mode="json", action_shape=args.action_shape,
         )
         bodies = bulk_bodies(acts, max_actions_per_body=args.max_actions_per_body)
         out_dir = os.path.join(args.out, f"v{from_v}-v{to_v}")
         bodies.write.parquet(out_dir, mode="errorifexists")
+        if args.ship_url:
+            # last mile over HTTP: deliver what was just persisted (the
+            # files are the audit/replay record; the report row per body
+            # carries attempts/conflicts for the recompute pass)
+            from binlog_es_go_spark.operators.search_export import ship_bulk_bodies
+
+            report = ship_bulk_bodies(spark.read.parquet(out_dir), args.ship_url)
+            report.write.parquet(out_dir + "_delivery", mode="errorifexists")
+            rep = spark.read.parquet(out_dir + "_delivery")
+            n_err = rep.filter(rep.status == "error").count()
+            n_conf = rep.selectExpr("sum(size(conflicted_ids)) c").collect()[0]["c"] or 0
+            print(f"shipped to {args.ship_url}: {rep.count()} bodies, "
+                  f"{n_err} errors, {n_conf} version conflicts")
+            if n_err:
+                return 3
         os.makedirs(args.out, exist_ok=True)
         tmp = state_path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump({"exported_through": to_v, "source": cfg.target_table_path}, f)
         os.replace(tmp, state_path)
         print(f"exported v{from_v}..v{to_v} -> {out_dir}")
+        return 0
+
+    if args.mode == "compact-deltas":
+        # fold pending merge-on-read deltas into base files (the
+        # maintenance half of the delta-append tail; see lake/maintenance)
+        from binlog_es_go_spark.lake.maintenance import compact_deltas
+
+        table = LakeTable.load(spark, cfg.target_table_path)
+        v = compact_deltas(table)
+        print("no deltas pending" if v is None else f"folded deltas -> v{v}")
         return 0
 
     if args.mode in ("compact", "expire-snapshots", "stats", "replicate"):

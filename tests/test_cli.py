@@ -199,3 +199,53 @@ def test_replicate_rejects_second_source(spark, tmp_path):
     # same source again is fine (incremental resume)
     apply_batch(s1, log.filter(F.col("offset") >= 400), batch_id=1)
     replicate_changes(s1, dst, int(dst.snapshot().properties["replicated_through"]))
+
+
+def test_cli_compact_deltas_and_shipped_export(spark, tmp_path):
+    """Round-5 operational surface: a tail that delta-appended leaves
+    pending merge-on-read debt — --mode compact-deltas folds it; --mode
+    export --ship-url delivers the bodies to a live (stub) search
+    cluster and writes a per-body delivery report."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from tests.test_bulk_shipper import _StubES, _make_server
+
+    target = str(tmp_path / "dtarget")
+    t = LakeTable.create(
+        spark, target,
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]),
+        key_cols=["id"], n_buckets=4,
+    )
+    schema = ("offset long, partition_id int, seq_in_tx int, op string, id long, "
+              "before struct<val:string>, after struct<val:string>, ts timestamp")
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(off, 0, 0, op, k, None, None if op == "delete" else (v,), None)
+             for off, op, k, v in rows], schema)
+
+    apply_batch(t, events([(k, "insert", k, f"v{k}") for k in range(30)]), batch_id=0)
+    apply_batch(t, events([(100, "update", 3, "v3b"), (101, "delete", 7, None)]),
+                batch_id=1, write_mode="delta")
+    assert t.snapshot().deltas
+
+    r = _run(["--mode", "compact-deltas", "--target", target, "--key-cols", "id"])
+    assert r.returncode == 0 and "folded deltas -> v" in r.stdout, r.stdout + r.stderr[-2000:]
+    t2 = LakeTable.load(spark, target)
+    assert not t2.snapshot().deltas
+    state = {row["id"]: row["val"] for row in t2.read().collect()}
+    assert state[3] == "v3b" and 7 not in state and len(state) == 29
+
+    stub = _StubES()
+    srv, url = _make_server(stub)
+    try:
+        out = str(tmp_path / "export_out")
+        r = _run(["--mode", "export", "--target", target, "--key-cols", "id",
+                  "--out", out, "--index", "docs", "--n-shards", "2",
+                  "--ship-url", url])
+        assert r.returncode == 0 and "shipped to" in r.stdout, r.stdout + r.stderr[-2000:]
+        assert "0 errors" in r.stdout
+        assert len(stub.docs) == 29 and stub.docs["3"] == {"val": "v3b"}
+    finally:
+        srv.shutdown()
