@@ -302,6 +302,12 @@ def main() -> None:
     pair_cost = None
     while True:
         pair_start = time.time()
+        # settle: the PREVIOUS pair's JVM is still tearing down (GC /
+        # shutdown hooks / tmpfs cleanup) for a few seconds after
+        # spark.stop() returns — round-5 run showed before-canaries of
+        # 0.67-0.88 s against after-canaries of 0.45-0.47 s, i.e. the
+        # probe was catching our own exhaust and flagging honest pairs.
+        time.sleep(4)
         c_before = canary_sec()
         mc_before = canary_sec(workers=cores_4n)
         # Alternate N-first / 4N-first between pairs: monotone host drift

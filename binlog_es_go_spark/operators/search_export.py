@@ -364,3 +364,105 @@ def ship_bulk_bodies(
     shard_col = F.col("shard") if has_shard else F.lit(None).cast("int").alias("shard")
     narrowed = bodies.select(shard_col, F.col("n_actions"), F.col("body"))
     return narrowed.rdd.mapPartitions(_ship).toDF(_SHIP_RESULT_SCHEMA)
+
+
+def run_export_tail(
+    table,
+    url: str,
+    state_path: str,
+    index: str,
+    payload_cols: list[str] | None = None,
+    n_shards: int | None = 16,
+    action_shape: str = "index",
+    max_actions_per_body: int = 1000,
+    poll_interval_sec: float = 0.5,
+    max_rounds: int | None = None,
+    stop_when_idle: bool = False,
+    max_attempts: int = 3,
+    backoff_ms: list[int] | None = None,
+    allow_missing_deletes: bool = False,
+) -> dict:
+    """Continuous lake → search-index delivery: the reference's steady
+    state (``pkg/realtime/loop.go:44-76`` — flush every ``flushIntervalMs``
+    or on pending overflow), re-expressed as a snapshot-diff tail.
+
+    Loop: whenever the table's current version is past the recorded
+    ``exported_through``, compute the snapshot diff (delta-aware, exact),
+    format it as ``_bulk`` actions, ship from the executors
+    (:func:`ship_bulk_bodies` — retry ladder, 413 splitting, conflict
+    harvesting), and ONLY THEN advance the sidecar state file — so a
+    crash between ship and record re-ships a range, which the index
+    resolves: external versions make replays no-ops under
+    ``action_shape="index"``, and doc_as_upsert re-applies idempotently
+    under ``"update"``. Delivery errors leave the position untouched and
+    surface in the returned summary instead of silently skipping a range.
+
+    Driver-side scheduling, executor-side everything else: the diff, the
+    formatting, and the HTTP posts are all DataFrame work; the loop only
+    compares two integers per poll. ``stop_when_idle`` / ``max_rounds``
+    bound the loop for tests and catch-up jobs; a service deployment runs
+    it unbounded next to (or inside) the ingest tail's driver.
+    """
+    import json
+    import os
+    import time
+
+    from binlog_es_go_spark.lake.changes import snapshot_changes
+    from binlog_es_go_spark.lake.merge import ENGINE_COLS
+
+    summary = {"rounds": 0, "ranges": [], "bodies": 0, "errors": 0, "conflicts": 0}
+    exported_through = 0
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            exported_through = int(json.load(f)["exported_through"])
+
+    while True:
+        to_v = table.current_version()
+        if to_v <= exported_through:
+            if stop_when_idle:
+                break
+            time.sleep(poll_interval_sec)
+            if max_rounds is not None and summary["rounds"] >= max_rounds:
+                break
+            continue
+        snap = table.snapshot(to_v)
+        cols = payload_cols or [
+            f.name for f in snap.schema.fields
+            if f.name not in snap.key_cols and f.name not in ENGINE_COLS
+        ]
+        changes = snapshot_changes(
+            table, exported_through, to_v,
+            allow_missing_deletes=allow_missing_deletes or exported_through == 0,
+        )
+        acts = bulk_index_actions(
+            changes, snap.key_cols, cols, index=index,
+            n_shards=n_shards, mode="json", action_shape=action_shape,
+        )
+        bodies = bulk_bodies(acts, max_actions_per_body=max_actions_per_body)
+        report = ship_bulk_bodies(
+            bodies, url, max_attempts=max_attempts, backoff_ms=backoff_ms
+        ).collect()
+        n_err = sum(1 for r in report if r["status"] == "error")
+        summary["rounds"] += 1
+        summary["bodies"] += len(report)
+        summary["errors"] += n_err
+        summary["conflicts"] += sum(len(r["conflicted_ids"]) for r in report)
+        summary["ranges"].append([exported_through, to_v])
+        if n_err:
+            # do NOT advance: the failed range re-ships next round (the
+            # reference's retry-then-circuit posture; idempotent on the
+            # index side by versioning/upsert semantics)
+            if stop_when_idle or (max_rounds is not None and summary["rounds"] >= max_rounds):
+                break
+            time.sleep(poll_interval_sec)
+            continue
+        exported_through = to_v
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"exported_through": to_v}, f)
+        os.replace(tmp, state_path)
+        if max_rounds is not None and summary["rounds"] >= max_rounds:
+            break
+    summary["exported_through"] = exported_through
+    return summary

@@ -256,3 +256,63 @@ def test_bulk_bodies_without_shard_parallelizes_chunking(spark):
         acts, max_actions_per_body=5, chunk_parallelism=8).collect()}
     assert {(r["n_actions"], r["body"]) for r in rows} == again
 
+
+
+def test_export_tail_follows_the_lake(spark, stub_es, tmp_path):
+    """run_export_tail: lake commits (including merge-on-read delta
+    appends) flow to the search index incrementally; the sidecar resume
+    position only advances after a fully delivered range, and a failing
+    round re-ships instead of skipping."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from binlog_es_go_spark.lake.table import LakeTable
+    from binlog_es_go_spark.operators.search_export import run_export_tail
+
+    stub, url = stub_es
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]),
+        key_cols=["id"], n_buckets=4,
+    )
+    schema = ("offset long, partition_id int, seq_in_tx int, op string, id long, "
+              "before struct<val:string>, after struct<val:string>, ts timestamp")
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(off, 0, 0, op, k, None, None if op == "delete" else (v,), None)
+             for off, op, k, v in rows], schema)
+
+    apply_batch(t, events([(k, "insert", k, f"v{k}") for k in range(20)]), batch_id=0)
+    state = str(tmp_path / "state.json")
+
+    s1 = run_export_tail(t, url, state, index="docs", stop_when_idle=True,
+                         poll_interval_sec=0.05, backoff_ms=[1])
+    assert s1["errors"] == 0 and s1["rounds"] == 1
+    assert len(stub.docs) == 20 and stub.docs["3"] == {"val": "v3"}
+
+    # increment: an update + a delete via the delta tail path
+    apply_batch(t, events([(100, "update", 3, "v3b"), (101, "delete", 7, None)]),
+                batch_id=1, write_mode="delta")
+    s2 = run_export_tail(t, url, state, index="docs", stop_when_idle=True,
+                         poll_interval_sec=0.05, backoff_ms=[1])
+    assert s2["errors"] == 0
+    assert stub.docs["3"] == {"val": "v3b"} and "7" not in stub.docs
+    assert len(stub.docs) == 19
+
+    # idle: nothing new -> zero rounds, position unchanged
+    s3 = run_export_tail(t, url, state, index="docs", stop_when_idle=True)
+    assert s3["rounds"] == 0 and s3["exported_through"] == s2["exported_through"]
+
+    # failure posture: a dead cluster leaves the position untouched...
+    apply_batch(t, events([(200, "update", 5, "v5b")]), batch_id=2, write_mode="delta")
+    stub.fail_remaining = 10_000
+    s4 = run_export_tail(t, url, state, index="docs", stop_when_idle=True,
+                         max_attempts=2, backoff_ms=[1])
+    assert s4["errors"] > 0 and s4["exported_through"] == s2["exported_through"]
+    assert stub.docs["5"] == {"val": "v5"}
+    # ...and the healed cluster receives the same range on the next run
+    stub.fail_remaining = 0
+    s5 = run_export_tail(t, url, state, index="docs", stop_when_idle=True,
+                         backoff_ms=[1])
+    assert s5["errors"] == 0 and stub.docs["5"] == {"val": "v5b"}
