@@ -258,6 +258,46 @@ def cdc_tail_bench(cores: int) -> dict:
         spark.stop()
 
 
+def cc_scale_bench(cores: int) -> dict:
+    """Connected components at adversarial shape (VERDICT r4 #8): a
+    2^17-edge chain — the worst case for min-label propagation — and a
+    10^6-edge random graph whose edges collapse into one giant component.
+    Records ROUNDS and wall time: the pointer-jumping round body keeps
+    rounds O(log diameter) (18 and 11 here), so per-run shuffle volume is
+    rounds x O(V+E) — the number that decides whether cluster resolution
+    survives a 100 TB near-dup corpus."""
+    from pyspark.sql import functions as F
+
+    from binlog_es_go_spark.operators.dedup import connected_components
+    from binlog_es_go_spark.session import build_session
+
+    spark = build_session("bench-cc", parallelism=cores, shuffle_partitions=cores)
+    try:
+        out: dict = {}
+        n = 1 << 17
+        chain = spark.range(n).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        st: dict = {}
+        t0 = time.time()
+        wrong = connected_components(chain, max_iter=60, stats=st).filter(F.col("component") != 0).count()
+        out.update(chain_edges=n, chain_rounds=st["rounds"],
+                   chain_sec=round(time.time() - t0, 2), chain_wrong_labels=wrong)
+
+        m = 1_000_000
+        nodes = m // 2
+        g = spark.range(m).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(nodes)).alias("id_a"),
+            F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(nodes)).alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        st2: dict = {}
+        t0 = time.time()
+        ncomp = connected_components(g, max_iter=60, stats=st2).select("component").distinct().count()
+        out.update(giant_edges=m, giant_rounds=st2["rounds"],
+                   giant_sec=round(time.time() - t0, 2), giant_components=ncomp)
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     from binlog_es_go_spark.cdc.events import generate_changelog
     from binlog_es_go_spark.session import build_session
@@ -391,6 +431,11 @@ def main() -> None:
     print("headline queries ...", file=sys.stderr)
     timings, total = run_headline_queries()
 
+    print("connected-components scale corpus ...", file=sys.stderr)
+    cc = cc_scale_bench(cores=min(8, CPUS))
+    print(f"cc: chain {cc['chain_rounds']} rounds/{cc['chain_sec']}s, "
+          f"giant {cc['giant_rounds']} rounds/{cc['giant_sec']}s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -428,6 +473,9 @@ def main() -> None:
         # steady-state incremental tail (small batches into a big table):
         # the regime the file-granular COW write path targets
         "cdc_tail": tail,
+        # near-dup cluster resolution at adversarial graph shape: rounds
+        # must stay O(log diameter) (chain) and O(log n) (giant component)
+        "cc_scale": cc,
     }
     print(json.dumps(result))
 

@@ -35,11 +35,21 @@ through the reverse lookup), with a high seq, so:
   Per-key trigger offsets are monotonic under that single-stream-per-key
   contract; note that child events are partitioned by the CHILD key, so a
   parent triggered via children on one partition and via its own events
-  on another can still receive a lower ``_trig_off`` than a prior
-  recompute — deployments with multi-partition related tables should
-  route parent+child tables of one config onto one partition (the
-  reference's single-binlog-stream deployment satisfies this trivially,
-  ``pkg/realtime/loop.go:140-175``).
+  on another can receive a lower ``_trig_off`` than a prior recompute.
+  Multi-partition deployments therefore get a PER-KEY MONOTONIC FLOOR
+  (``_lift_to_floor``, enabled automatically when the config has related
+  queries and ``stream_partitions > 1``): before synthesizing, each
+  recompute key's stamp is lifted strictly above max(the target table's
+  current persisted ``(last_offset, last_seq)`` for that key — tombstones
+  and pending merge-on-read deltas included — and any same-batch direct
+  DELETE position for the key). A recompute reads CURRENT source-of-truth
+  state, which supersedes everything already applied, so lifting is
+  always semantically correct; the lift only fires when the trigger
+  offset alone would lose, so the single-stream deployment (the
+  reference's, ``pkg/realtime/loop.go:140-175``) keeps exact
+  rerun-is-a-no-op stamps. A crash-rerun of a LIFTED batch re-lifts one
+  seq higher and re-applies — idempotent in value (the recompute re-reads
+  the same source of truth), at worst one redundant file rewrite.
 """
 
 from __future__ import annotations
@@ -83,6 +93,64 @@ def _payload_struct(src: DataFrame, key_cols: list[str]):
     return F.struct(*[F.col(c) for c in payload])
 
 
+def _lift_to_floor(
+    table: LakeTable, recompute_keys: DataFrame, key_cols: list[str], main: DataFrame
+) -> DataFrame:
+    """Per-key monotonic floor for multi-partition deployments (see module
+    docstring): return ``recompute_keys`` with ``(_trig_off, _trig_seq)``
+    lifted strictly above both the target's persisted guard for the key
+    and any same-batch main-table DELETE position, so a recompute
+    triggered from a low-offset stream partition can never lose the LWW
+    window to older state. Cost: one bounded driver job (the distinct
+    bucket list, <= n_buckets rows) plus a bucket-and-column-pruned scan
+    of the target's guard columns, broadcast-joined against the
+    batch-sized keyset — no extra shuffle of the target."""
+    from binlog_es_go_spark.lake.table import khash_expr
+
+    snap = table.snapshot()
+    buckets = [
+        int(r[0])
+        for r in recompute_keys.select(
+            F.pmod(khash_expr(key_cols), F.lit(snap.n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    state = table.read(buckets=buckets, include_deleted=True)
+    floors = state.join(
+        F.broadcast(recompute_keys.select(*key_cols)), on=key_cols, how="inner"
+    ).select(
+        *key_cols,
+        F.col("last_offset").alias("_fl_off"),
+        F.coalesce(F.col("last_seq"), F.lit(0)).cast("long").alias("_fl_seq"),
+    )
+    same_batch_deletes = main.filter(F.col("op") == "delete").select(
+        *key_cols,
+        F.col("offset").alias("_fl_off"),
+        F.coalesce(F.col("seq_in_tx"), F.lit(0)).cast("long").alias("_fl_seq"),
+    )
+    floor = (
+        floors.unionByName(same_batch_deletes)
+        .groupBy(*key_cols)
+        .agg(F.max(F.struct(F.col("_fl_off"), F.col("_fl_seq"))).alias("_f"))
+    )
+    lift = F.col("_f").isNotNull() & (
+        (F.col("_f._fl_off") > F.col("_trig_off"))
+        | (
+            (F.col("_f._fl_off") == F.col("_trig_off"))
+            & (F.col("_f._fl_seq") >= F.lit(SEQ_RECOMPUTE))
+        )
+    )
+    return recompute_keys.join(floor, on=key_cols, how="left").select(
+        *key_cols,
+        F.when(lift, F.col("_f._fl_off")).otherwise(F.col("_trig_off")).alias("_trig_off"),
+        F.when(lift, F.col("_f._fl_seq") + 1)
+        .otherwise(F.lit(SEQ_RECOMPUTE))
+        .cast("int")
+        .alias("_trig_seq"),
+    )
+
+
 def process_config_batch(
     spark: SparkSession,
     cfg: SyncTaskConfig,
@@ -91,12 +159,18 @@ def process_config_batch(
     batch_id: int,
     mapper: Callable[[DataFrame], DataFrame] | None = None,
     main_src: DataFrame | None = None,
+    monotonic_floor: bool | None = None,
 ) -> MergeResult:
     """Apply one mixed-table micro-batch under a SyncTaskConfig.
 
     RECOMPUTE mode (``cfg.main_table_path`` set — the reference's mode):
     events reduce to keys, keys re-read from the source of truth through
     the mapper, absences deleted per ``delete_on_missing``.
+
+    ``monotonic_floor``: lift recompute stamps above the target's
+    persisted per-key guard (module docstring). Default: on exactly when
+    the config has related queries AND ``stream_partitions > 1`` — the
+    only shape where cross-partition trigger offsets can regress.
 
     CDC mode (no ``main_table_path``): after-images apply directly; only
     the relevance filter and mapper come from config.
@@ -141,6 +215,14 @@ def process_config_batch(
         ).select(*[F.col(p).alias(k) for p, k in zip(rq.parent_key_cols, key_cols)], "_trig_off")
         keyed = keyed.unionByName(affected)
     recompute_keys = keyed.groupBy(*key_cols).agg(F.max("_trig_off").alias("_trig_off"))
+    if monotonic_floor is None:
+        monotonic_floor = bool(cfg.related_queries) and (cfg.stream_partitions or 1) > 1
+    if monotonic_floor:
+        recompute_keys = _lift_to_floor(table, recompute_keys, key_cols, main)
+    else:
+        recompute_keys = recompute_keys.withColumn(
+            "_trig_seq", F.lit(SEQ_RECOMPUTE).cast("int")
+        )
 
     # No driver-side emptiness probe: an empty batch flows through to
     # apply_batch, whose per-batch metadata scan (the one unavoidable
@@ -154,7 +236,7 @@ def process_config_batch(
     # tests/test_physical_plans.py)
     found = main_src.join(F.broadcast(recompute_keys), on=key_cols, how="inner")
 
-    def synth(df: DataFrame, op: str, seq: int, keep_positions: bool) -> DataFrame:
+    def synth(df: DataFrame, op: str, keep_positions: bool) -> DataFrame:
         payload = _payload_struct(found, key_cols)
         after = payload if op != "delete" else F.lit(None).cast(
             T.StructType([
@@ -165,23 +247,25 @@ def process_config_batch(
         return df.select(
             (F.col("offset") if keep_positions else F.col("_trig_off").cast("long")).alias("offset"),
             (F.col("partition_id") if keep_positions else F.lit(RECOMPUTE_PARTITION).cast("int")).alias("partition_id"),
-            (F.col("seq_in_tx") if keep_positions else F.lit(seq).cast("int")).alias("seq_in_tx"),
+            # non-positional stamps ride the per-key trigger seq (the
+            # SEQ_RECOMPUTE constant, or the floor-lifted value)
+            (F.col("seq_in_tx") if keep_positions else F.col("_trig_seq").cast("int")).alias("seq_in_tx"),
             F.lit(op).alias("op"),
             *key_cols,
             after.alias("after"),
             (F.col("ts") if "ts" in df.columns else F.lit(None).cast("timestamp")).alias("ts"),
         )
 
-    parts = [synth(found, "update", SEQ_RECOMPUTE, keep_positions=False)]
+    parts = [synth(found, "update", keep_positions=False)]
     # main DELETE events -> direct deletes at their real positions
     if cfg.delete_on_delete:
         deletes = main.filter(F.col("op") == "delete")
-        parts.append(synth(deletes, "delete", 0, keep_positions=True))
+        parts.append(synth(deletes, "delete", keep_positions=True))
     # recomputed keys with no source row -> deleteOnMissing, stamped at
     # the missing key's own trigger offset
     if cfg.delete_on_missing:
         missing = recompute_keys.join(found.select(*key_cols), on=key_cols, how="left_anti")
-        parts.append(synth(missing, "delete", SEQ_RECOMPUTE, keep_positions=False))
+        parts.append(synth(missing, "delete", keep_positions=False))
 
     synthetic = parts[0]
     for p in parts[1:]:

@@ -69,6 +69,18 @@ def khash_expr(key_cols: list[str]):
     matches the reference's default shard strategy ``crc32_ieee_uint32``
     (``pkg/realtime/helpers.go:104-123``), so routing is reproducible
     cross-language — validated against the README golden vectors in tests.
+
+    COLLISIONS: crc32 is 32-bit, so two distinct keys can share a
+    ``_khash`` (expected around ~80k keys per bucket-sized population by
+    birthday math). Colliding keys land in the same bucket and inside the
+    same file key-hash ranges, and every consumer of ``_khash`` treats it
+    as a PRUNING hint, never an identity: the file-granular COW in
+    merge.py rewrites any file whose range contains a batch key's hash —
+    an equal hash is always in-range, so a colliding resident key forces
+    a rewrite (extra IO), never an unsafe carry; ``read_keys`` and the
+    merge window re-filter/re-group by the REAL key columns after the
+    hash-pruned scan. Net effect of a collision is a marginally wider
+    scan/rewrite set — correctness is unaffected.
     """
     key = F.concat_ws(KEY_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols])
     return F.crc32(key)

@@ -275,3 +275,93 @@ def test_load_config_rejects_invalid(tmp_path):
     p.write_text("name: x\ntarget_table_path: /t\nkey_cols: [k]\ndelete_on_missing: true\n")
     with pytest.raises(ValueError, match="main_table_path"):
         load_config(str(p))
+
+
+def test_cross_partition_child_trigger_floor(spark, tmp_path):
+    """VERDICT r4 #9: parent and child tables on DIFFERENT stream
+    partitions. A child-triggered recompute arriving at a LOW offset on
+    its own partition must still supersede a prior recompute stamped at a
+    HIGH offset from the parent's partition — without the per-key
+    monotonic floor the synthetic stamp (50, SEQ_RECOMPUTE) would lose the
+    LWW guard to (1000, SEQ_RECOMPUTE) and the newer source-of-truth state
+    would be silently dropped."""
+    import dataclasses
+
+    src_path, _, table, cfg = _setup(spark, tmp_path)
+    # multi-partition deployment -> floor auto-enabled
+    cfg = dataclasses.replace(cfg, stream_partitions=2)
+
+    # batch 0: main event for custkey 1 rides partition 0 at offset 1000
+    b0 = spark.createDataFrame(
+        [(1000, 0, 0, "insert", "customer_1", 1, None, (None, None), None)], EVENT_SCHEMA
+    )
+    process_config_batch(spark, cfg, table, b0, batch_id=0)
+    assert _state(table)[1] == ("cust1", "N1", 1000, "update")
+
+    # upstream source of truth changes for custkey 1 ...
+    spark.createDataFrame(
+        [(k, "cust1-v2" if k == 1 else f"cust{k}", k % 3) for k in range(1, 9) if k != 4],
+        "custkey long, name string, nationkey long",
+    ).write.mode("overwrite").parquet(src_path)
+    # ... and the only signal is a CHILD event on partition 1 at offset 50
+    b1 = spark.createDataFrame(
+        [(50, 1, 0, "update", "nation_3", -1, 1, None, None)], EVENT_SCHEMA
+    )
+    process_config_batch(spark, cfg, table, b1, batch_id=1)
+    s1 = _state(table)
+    # the floor lifts the stamp to the persisted guard (1000, seq+1): the
+    # NEWER recompute applies instead of losing to its own history
+    assert s1[1][0] == "cust1-v2" and s1[1][2] == 1000
+    # a parent only now synced in (custkey 7, nationkey 1, no prior state)
+    # takes its natural trigger stamp — no lift for unseen keys
+    assert s1[7] == ("cust7", "N1", 50, "update")
+
+    # crash-rerun of the lifted batch: value-idempotent (re-lifts one seq
+    # higher and re-applies the identical recomputed payload)
+    process_config_batch(spark, cfg, table, b1, batch_id=1)
+    assert _state(table) == s1
+
+
+def test_floor_covers_same_batch_direct_delete(spark, tmp_path):
+    """A main-table DELETE at a high offset and a child trigger at a low
+    offset for the SAME key in one batch: the recompute finds the row in
+    the source of truth (the delete was superseded upstream), so its
+    synthetic stamp must be lifted above the direct delete's real
+    position or the tombstone would win the merge window."""
+    import dataclasses
+
+    src_path, _, table, cfg = _setup(spark, tmp_path)
+    cfg = dataclasses.replace(cfg, stream_partitions=2)
+
+    b0 = spark.createDataFrame(
+        [(100, 0, 0, "insert", "customer_1", 1, None, (None, None), None)], EVENT_SCHEMA
+    )
+    process_config_batch(spark, cfg, table, b0, batch_id=0)
+
+    # one batch: DELETE custkey 1 at (p0, 900) + child trigger at (p1, 10);
+    # the source of truth STILL holds custkey 1
+    b1 = spark.createDataFrame(
+        [
+            (900, 0, 0, "delete", "customer_1", 1, None, None, None),
+            (10, 1, 0, "update", "nation_3", -1, 1, None, None),
+        ],
+        EVENT_SCHEMA,
+    )
+    process_config_batch(spark, cfg, table, b1, batch_id=1)
+    s1 = _state(table)
+    # recompute (lifted above the delete's (900, 0)) wins: row survives
+    # with the source-of-truth payload
+    assert 1 in s1 and s1[1][0] == "cust1" and s1[1][2] == 900
+
+
+def test_floor_off_single_stream_keeps_exact_noop_rerun(spark, tmp_path):
+    """Default single-stream deployments skip the floor: stamps are the
+    raw trigger offsets and a crash-rerun is an exact (offset, seq) no-op
+    commit, byte-identical guard state."""
+    _, _, table, cfg = _setup(spark, tmp_path)
+    assert (cfg.stream_partitions or 1) == 1
+    process_config_batch(spark, cfg, table, _batch0(spark), batch_id=0)
+    v0 = table.current_version()
+    s0 = _state(table)
+    process_config_batch(spark, cfg, table, _batch0(spark), batch_id=0)
+    assert _state(table) == s0

@@ -128,3 +128,50 @@ def test_pre_stats_manifests_read_fine(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     assert t.files_for(stats_filter={"size": (0, 1)}) == t.files_for()
     assert t.read(stats_filter={"size": (3000, 3099)}).filter(F.col("size").between(3000, 3099)).count() > 0
+
+
+def test_carried_file_stats_stay_exact_across_merge_and_compaction(spark, tmp_path):
+    """File-granular COW carries untouched files' manifest stats forward
+    verbatim (write_buckets keeps `p in live` entries). That is only
+    sound if a carried entry always equals the file's TRUE footer stats —
+    they must never drift across merges, delta appends, or compaction.
+    VERDICT r4 #10."""
+    from binlog_es_go_spark.lake.table import _harvest_file_stats
+
+    t = _table_with_bucket_correlated_sizes(spark, tmp_path)
+    v1_files = set(t.files_for())
+
+    # incremental batch touching 3 keys: most v1 files are carried
+    upd = spark.createDataFrame(
+        [(10_000 + k, 0, 0, "update", k, (9_999, "fr")) for k in (1, 2, 3)],
+        "offset long, partition_id int, seq_in_tx int, op string, doc_id long, "
+        "after struct<size:long,lang:string>",
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    apply_batch(t, upd, batch_id=1, salt_partitions=8)
+
+    snap = t.snapshot()
+    live = t.files_for()
+    carried = set(live) & v1_files
+    assert carried, "fixture must exercise the carry path"
+    assert set(live) - v1_files, "fixture must also rewrite something"
+
+    fresh = _harvest_file_stats(t.root, live, snap.schema)
+    for p in live:
+        assert snap.file_stats.get(p) == fresh.get(p), f"stats drift on {p} (carried={p in carried})"
+
+    # compaction replaces layout wholesale; harvested stats must again be
+    # exactly the new files' footer truth
+    compact(t, target_files_per_bucket=1)
+    snap2 = t.snapshot()
+    live2 = t.files_for()
+    fresh2 = _harvest_file_stats(t.root, live2, snap2.schema)
+    for p in live2:
+        assert snap2.file_stats.get(p) == fresh2.get(p)
+    # and the khash ranges recorded for the compacted files truly bound
+    # the rows inside (the file-COW correctness contract)
+    from binlog_es_go_spark.lake.table import KHASH_COL
+    for p in live2:
+        lo, hi, _ = snap2.file_stats[p][KHASH_COL]
+        real = spark.read.parquet(f"{t.root}/{p}").agg(
+            F.min(KHASH_COL), F.max(KHASH_COL)).first()
+        assert lo <= real[0] and real[1] <= hi

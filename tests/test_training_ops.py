@@ -582,3 +582,36 @@ def test_connected_components_chains_and_islands(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
     got = {r["id"]: r["component"] for r in connected_components(chain, max_iter=40).collect()}
     assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_connected_components_scale_round_bounds(spark):
+    """VERDICT r4 #8: rounds must stay O(log diameter), not O(diameter).
+    Pointer jumping (label <- label(label)) makes a 2^16-edge chain — the
+    adversarial worst case for min-label propagation — converge in ~17
+    rounds instead of 65,536; and a 10^6-edge random graph (giant
+    component, log-ish diameter) in ~11. The bounds below are 2x the
+    measured values, so a regression to propagation-only (or a broken
+    shortcut join) trips them immediately."""
+    from pyspark.sql import functions as F
+
+    from binlog_es_go_spark.operators.dedup import connected_components
+
+    n = 1 << 16
+    chain = spark.range(n).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    st: dict = {}
+    res = connected_components(chain, max_iter=60, stats=st)
+    assert res.filter(F.col("component") != 0).count() == 0, "one chain, one component"
+    assert st["rounds"] <= 2 * 17, f"chain rounds blew up: {st['rounds']}"
+
+    m = 1_000_000
+    nodes = m // 2
+    g = spark.range(m).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nodes)).alias("id_a"),
+        F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(nodes)).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    st2: dict = {}
+    res2 = connected_components(g, max_iter=60, stats=st2)
+    assert st2["rounds"] <= 24, f"giant-component rounds blew up: {st2['rounds']}"
+    # avg degree 4 over 500k nodes: almost everything is one giant
+    # component; distinct components must be tiny relative to node count
+    assert res2.select("component").distinct().count() < 2_000
