@@ -49,10 +49,30 @@ WARMUP_EVENTS = int(os.environ.get("BENCH_WARMUP_EVENTS", "200000"))
 MIN_PAIRS = int(os.environ.get("BENCH_MIN_PAIRS", "6"))
 REPS = int(os.environ.get("BENCH_REPS", "1"))
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-# A scaling pair whose canary reading (below) exceeds the session's best
-# by more than this factor ran on a contended host — its ratio is weather,
-# not code.
+# A scaling pair whose canary reading (below) exceeds the session's
+# FLOOR by more than this factor ran on a contended host — its ratio is
+# weather, not code. Round-5 calibration, from an 11-pair session's
+# distributions (BENCH.md round-5):
+# * the floor is the 25th PERCENTILE of the session's readings, not the
+#   minimum — the min over 20+ readings is a lucky order statistic (the
+#   r5 session's single-core min was 0.449 s with typical quiet readings
+#   at 0.48-0.55), and flooring on it flagged every honest pair;
+# * the single-core probe (serial burn) repeats within ~1.2x of its
+#   floor when genuinely quiet -> threshold 1.20;
+# * the cores_4n-wide probe schedules N threads simultaneously on an
+#   overcommitted guest: its quiet-session spread is ~1.4x (readings
+#   0.59-0.79 against a 0.49 min in the same hour), while the capacity
+#   collapse it exists to catch reads >=1.8x (r4: 54% capacity; r5
+#   contended moments: 2.07 s vs 0.62 floor = 3.3x) -> threshold 1.50
+#   separates the two regimes with margin on both sides.
 CANARY_DRIFT = float(os.environ.get("BENCH_CANARY_DRIFT", "1.20"))
+CANARY_DRIFT_MC = float(os.environ.get("BENCH_CANARY_DRIFT_MC", "1.50"))
+
+
+def canary_floor(readings: list[list[float]]) -> float:
+    """Robust idle-baseline estimate: 25th percentile of all readings."""
+    flat = sorted(c for pair in readings for c in pair)
+    return flat[len(flat) // 4]
 
 
 def _canary_loop(_arg: int) -> int:
@@ -369,15 +389,16 @@ def main() -> None:
         rep += 1
         # Pair hygiene: a pair is CLEAN when BOTH canary kinds' readings
         # (single-core serial floor AND the cores_4n-wide probe) are
-        # within CANARY_DRIFT of the best seen this session (the bests
-        # approximate the idle floors). Contended pairs are kept in the
-        # artifact — flagged, never headline.
-        c_best = min(c for pair in canaries for c in pair)
-        mc_best = min(c for pair in canaries_mc for c in pair)
+        # within their drift thresholds of the session FLOOR (25th
+        # percentile — see the calibration note at CANARY_DRIFT).
+        # Contended pairs are kept in the artifact — flagged, never
+        # headline.
+        c_floor = canary_floor(canaries)
+        mc_floor = canary_floor(canaries_mc)
         clean = [
             i for i in range(len(canaries))
-            if max(canaries[i]) <= CANARY_DRIFT * c_best
-            and max(canaries_mc[i]) <= CANARY_DRIFT * mc_best
+            if max(canaries[i]) <= CANARY_DRIFT * c_floor
+            and max(canaries_mc[i]) <= CANARY_DRIFT_MC * mc_floor
         ]
         elapsed = time.time() - bench_t0
         if rep < max(REPS, MIN_PAIRS):
@@ -391,10 +412,12 @@ def main() -> None:
 
     c_best = min(c for pair in canaries for c in pair)
     mc_best = min(c for pair in canaries_mc for c in pair)
+    c_floor = canary_floor(canaries)
+    mc_floor = canary_floor(canaries_mc)
     clean_pairs = [
         i for i in range(len(canaries))
-        if max(canaries[i]) <= CANARY_DRIFT * c_best
-        and max(canaries_mc[i]) <= CANARY_DRIFT * mc_best
+        if max(canaries[i]) <= CANARY_DRIFT * c_floor
+        and max(canaries_mc[i]) <= CANARY_DRIFT_MC * mc_floor
     ]
     flagged_pairs = [i for i in range(len(canaries)) if i not in clean_pairs]
     # Headline throughputs come from CLEAN pairs when any exist: the peak
@@ -465,7 +488,10 @@ def main() -> None:
                 "readings_multicore": canaries_mc,
                 "best": round(c_best, 3),
                 "best_multicore": round(mc_best, 3),
+                "floor": round(c_floor, 3),
+                "floor_multicore": round(mc_floor, 3),
                 "drift_threshold": CANARY_DRIFT,
+                "drift_threshold_multicore": CANARY_DRIFT_MC,
                 "clean_pairs": clean_pairs,
                 "flagged_pairs": flagged_pairs,
             },

@@ -119,6 +119,56 @@ def compact(
     return new_snap.version
 
 
+def rebucket(
+    table: LakeTable,
+    new_n_buckets: int,
+    target_files_per_bucket: int = 1,
+) -> int:
+    """Bucket-count evolution: rewrite the whole table under a new bucket
+    count in ONE atomic commit — the Iceberg
+    ``REPLACE PARTITION FIELD bucket(N, key) -> bucket(M, key)`` +
+    rewrite_data_files analog. A 100 TB table that started at 64 buckets
+    needs this the day per-bucket file sets stop fitting maintenance
+    windows; without it the only escape is a full copy to a new table and
+    a consumer cutover.
+
+    O(table) by construction (every row's bucket id changes), but: one
+    wide exchange keyed by (new bucket, khash range group), khash-local
+    sort preserved, so the result has exactly the layout/stats invariants
+    of a fresh compaction at the new count — file-granular COW pruning
+    keeps working across the switch. Pending merge-on-read deltas are
+    folded by the same scan (the rewrite read resolves them) and
+    reclaimed. Readers of OLD versions keep the old count (each manifest
+    records its own ``n_buckets``); a concurrent writer's commit makes
+    this rebucket raise ``CommitConflict`` rather than strand its rows
+    under a stale bucket map — retry when the table quiesces.
+    """
+    from binlog_es_go_spark.lake.table import BUCKET_COL, bucket_expr, khash_expr
+
+    snap = table.snapshot()
+    if new_n_buckets == snap.n_buckets:
+        return snap.version
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    df = table.read(include_deleted=True)  # tombstones kept, deltas folded
+    df = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, new_n_buckets))
+    k = max(1, target_files_per_bucket)
+    span = -(-(1 << 32) // k)
+    grp = F.floor(khash_expr(snap.key_cols) / F.lit(span)).cast("int")
+    out = df.repartition(max(new_n_buckets * k, 1), F.col(BUCKET_COL), grp)
+    new_snap = table.write_buckets(
+        out,
+        replaced_buckets=sorted(snap.buckets),
+        expected_version=snap.version,
+        properties_fn=lambda _p: {"last_rebucket_from": snap.n_buckets},
+        n_write_groups=k,
+        new_n_buckets=new_n_buckets,
+    )
+    if snap.deltas:
+        new_snap = _drop_deltas_retrying(table, snap.deltas)
+    return new_snap.version
+
+
 def compact_deltas(table: LakeTable, salt_partitions: int | None = None) -> int | None:
     """Fold pending merge-on-read deltas into base files and reclaim them —
     the maintenance half of the delta-apply trade (see

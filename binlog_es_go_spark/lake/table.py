@@ -512,6 +512,7 @@ class LakeTable:
         collect_stats: bool = True,
         carry_files: dict[int, list[str]] | None = None,
         n_write_groups: int = 1,
+        new_n_buckets: int | None = None,
     ) -> Snapshot:
         """Commit a new snapshot replacing ``replaced_buckets`` with ``df``.
 
@@ -540,8 +541,22 @@ class LakeTable:
         in separate files with DISJOINT manifest ranges). Callers align
         their repartition to the same expression so each group is one
         task's worth of rows.
+
+        ``new_n_buckets``: bucket-count evolution (maintenance.rebucket).
+        Requires a WHOLE-TABLE rewrite in this commit: every existing
+        bucket replaced, no carried files (a carried file's rows would
+        hash to different buckets under the new count). ``df``'s
+        ``_bucket`` must already be keyed by the new count; the committed
+        manifest records it, and every later read/merge/lookup derives
+        bucket ids from the manifest, so the switch is atomic with the
+        data swap.
         """
         base = self.snapshot(expected_version)
+        if new_n_buckets is not None and new_n_buckets != base.n_buckets:
+            if not set(base.buckets) <= set(replaced_buckets):
+                raise ValueError("new_n_buckets requires replacing every existing bucket")
+            if carry_files:
+                raise ValueError("new_n_buckets cannot carry files (stale bucket ids)")
         schema = new_schema or base.schema
         if not any(f.name == KHASH_COL for f in schema.fields):
             # auto-migrate pre-khash tables on their next commit
@@ -617,7 +632,7 @@ class LakeTable:
             version=base.version + 1,
             parent=base.version,
             key_cols=base.key_cols,
-            n_buckets=base.n_buckets,
+            n_buckets=new_n_buckets if new_n_buckets is not None else base.n_buckets,
             schema=schema,
             buckets=buckets,
             properties=props,

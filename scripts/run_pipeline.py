@@ -72,6 +72,18 @@ def main() -> int:
                     help="export: 'index' = external-version full-doc replace (wholesale "
                          "cutover); 'update' = the Go writer's doc_as_upsert stream "
                          "(safe to interleave with the reference during dual-writing)")
+    ap.add_argument("--follow", action="store_true",
+                    help="export: continuous delivery loop (the reference's steady-state "
+                         "loop, pkg/realtime/loop.go:44-76): poll the table version, ship "
+                         "each new snapshot range, advance the resume state only after "
+                         "full delivery. Requires --ship-url; ship-only (no body files).")
+    ap.add_argument("--poll-interval-sec", type=float, default=2.0,
+                    help="export --follow: idle poll cadence")
+    ap.add_argument("--max-rounds", type=int, default=None,
+                    help="export --follow: stop after N loop rounds (default unbounded)")
+    ap.add_argument("--until-idle", action="store_true",
+                    help="export --follow: exit as soon as the table has no undelivered "
+                         "range (catch-up jobs / tests)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -116,6 +128,24 @@ def main() -> int:
             ap.error("--out is required for --mode export")
         table = LakeTable.load(spark, cfg.target_table_path)
         state_path = os.path.join(args.out, "_EXPORT_STATE.json")
+        if args.follow:
+            if not args.ship_url:
+                ap.error("--follow requires --ship-url")
+            from binlog_es_go_spark.operators.search_export import run_export_tail
+
+            os.makedirs(args.out, exist_ok=True)
+            summary = run_export_tail(
+                table, args.ship_url, state_path, index=args.index,
+                n_shards=args.n_shards, action_shape=args.action_shape,
+                max_actions_per_body=args.max_actions_per_body,
+                poll_interval_sec=args.poll_interval_sec,
+                max_rounds=args.max_rounds, stop_when_idle=args.until_idle,
+                allow_missing_deletes=args.allow_missing_deletes,
+            )
+            print(f"followed to v{summary['exported_through']}: "
+                  f"{summary['rounds']} rounds, {summary['bodies']} bodies, "
+                  f"{summary['errors']} errors, {summary['conflicts']} version conflicts")
+            return 3 if summary["errors"] else 0
         exported_through = None
         if os.path.exists(state_path):
             with open(state_path) as f:

@@ -249,3 +249,52 @@ def test_cli_compact_deltas_and_shipped_export(spark, tmp_path):
         assert len(stub.docs) == 29 and stub.docs["3"] == {"val": "v3b"}
     finally:
         srv.shutdown()
+
+
+def test_cli_export_follow_tail(spark, tmp_path):
+    """--mode export --follow: the continuous-delivery loop as an
+    operator would run it — catch up, exit on idle, resume from the
+    sidecar state on the next invocation, deltas included."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.cdc.apply import apply_batch
+    from tests.test_bulk_shipper import _StubES, _make_server
+
+    target = str(tmp_path / "ftarget")
+    t = LakeTable.create(
+        spark, target,
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]),
+        key_cols=["id"], n_buckets=4,
+    )
+    schema = ("offset long, partition_id int, seq_in_tx int, op string, id long, "
+              "before struct<val:string>, after struct<val:string>, ts timestamp")
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(off, 0, 0, op, k, None, None if op == "delete" else (v,), None)
+             for off, op, k, v in rows], schema)
+
+    apply_batch(t, events([(k, "insert", k, f"v{k}") for k in range(15)]), batch_id=0)
+
+    stub = _StubES()
+    srv, url = _make_server(stub)
+    try:
+        out = str(tmp_path / "follow_out")
+        base = ["--mode", "export", "--target", target, "--key-cols", "id",
+                "--out", out, "--index", "docs", "--n-shards", "2",
+                "--ship-url", url, "--follow", "--until-idle",
+                "--poll-interval-sec", "0.1"]
+        r = _run(base)
+        assert r.returncode == 0 and "followed to v" in r.stdout, r.stdout + r.stderr[-2000:]
+        assert len(stub.docs) == 15 and stub.docs["3"] == {"val": "v3"}
+
+        # more commits (one via the merge-on-read delta path), then a
+        # second invocation resumes from the sidecar state
+        apply_batch(t, events([(100, "update", 3, "v3b"), (101, "delete", 7, None)]),
+                    batch_id=1, write_mode="delta")
+        r2 = _run(base)
+        assert r2.returncode == 0, r2.stdout + r2.stderr[-2000:]
+        assert stub.docs["3"] == {"val": "v3b"} and "7" not in stub.docs
+        assert len(stub.docs) == 14
+    finally:
+        srv.shutdown()
