@@ -843,17 +843,47 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.selectExpr(*exprs)
 
 
-def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
-    """Column-union schema merge (ALTER TABLE ADD COLUMN analog).
+# Safe type-widening lattices (ALTER TABLE MODIFY int -> bigint analog):
+# widening within a family is lossless, and this Spark's vectorized
+# parquet reader promotes old files' narrower physical types at scan time
+# (int32 read under a LongType schema, float under double — probed on
+# pyspark 4.1.2), so a widened manifest schema stays read-compatible with
+# every pre-widening file without any rewrite.
+_INT_WIDTH = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+_FLOAT_WIDTH = {T.FloatType: 0, T.DoubleType: 1}
 
-    New columns append after existing ones; existing columns keep their
-    type (no narrowing). The reference's answer to evolution is a lazily
-    populated, never-invalidated column-name cache
+
+def _wider(base: T.DataType, incoming: T.DataType) -> T.DataType | None:
+    """The wider of two same-family numeric types, or None when the pair
+    is not a safe widening (caller then keeps the base type)."""
+    for order in (_INT_WIDTH, _FLOAT_WIDTH):
+        if type(base) in order and type(incoming) in order:
+            return base if order[type(base)] >= order[type(incoming)] else incoming
+    return None
+
+
+def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Column-union schema merge (ALTER TABLE ADD COLUMN analog) with
+    numeric type WIDENING (ALTER MODIFY int -> bigint analog).
+
+    New columns append after existing ones. Existing columns keep their
+    type unless the incoming type is a strictly wider member of the same
+    numeric family (byte<short<int<long, float<double) — then the column
+    widens; it never narrows (a narrower incoming batch is cast up on
+    write by ``align_to_schema``). The reference's answer to evolution is
+    a lazily populated, never-invalidated column-name cache
     (``pkg/realtime/schema_cache.go:21-52``) — this is the strictly
     stronger lake-side version.
     """
+    have = {f.name: f.dataType for f in incoming.fields}
+    fields = []
+    for f in base.fields:
+        inc = have.get(f.name)
+        w = _wider(f.dataType, inc) if inc is not None else None
+        fields.append(
+            T.StructField(f.name, w, f.nullable) if w is not None and w != f.dataType else f
+        )
     names = {f.name for f in base.fields}
-    fields = list(base.fields)
     for f in incoming.fields:
         if f.name not in names and f.name != BUCKET_COL:
             fields.append(T.StructField(f.name, f.dataType, True))

@@ -28,7 +28,7 @@ def main() -> int:
     ap.add_argument("--mode", required=True,
                     choices=["realtime", "bootstrap", "self-check", "replay-deadletters",
                              "compact", "expire-snapshots", "stats", "replicate", "export",
-                             "compact-deltas"])
+                             "compact-deltas", "rebucket"])
     ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
@@ -55,6 +55,8 @@ def main() -> int:
                     help="compact: range files per compacted bucket")
     ap.add_argument("--min-age-sec", type=float, default=600.0,
                     help="expire-snapshots: never delete commit dirs younger than this")
+    ap.add_argument("--new-n-buckets", type=int, default=None,
+                    help="rebucket: the new bucket count")
     ap.add_argument("--replica", help="replicate: target lake table root")
     ap.add_argument("--from-version", type=int, default=None, help="replicate: source version floor")
     ap.add_argument("--allow-missing-deletes", action="store_true",
@@ -193,6 +195,20 @@ def main() -> int:
             _json.dump({"exported_through": to_v, "source": cfg.target_table_path}, f)
         os.replace(tmp, state_path)
         print(f"exported v{from_v}..v{to_v} -> {out_dir}")
+        return 0
+
+    if args.mode == "rebucket":
+        # bucket-count evolution: one atomic whole-table rewrite commit
+        # (lake/maintenance.rebucket; Iceberg REPLACE PARTITION FIELD analog)
+        from binlog_es_go_spark.lake.maintenance import rebucket
+
+        if args.new_n_buckets is None:
+            ap.error("--new-n-buckets is required for --mode rebucket")
+        table = LakeTable.load(spark, cfg.target_table_path)
+        old = table.snapshot().n_buckets
+        v = rebucket(table, args.new_n_buckets,
+                     target_files_per_bucket=args.target_files_per_bucket)
+        print(f"rebucketed {old} -> {table.snapshot().n_buckets} buckets at v{v}")
         return 0
 
     if args.mode == "compact-deltas":

@@ -112,3 +112,22 @@ def test_rebucket_noop_and_validation(spark, tmp_path):
             replaced_buckets=[some_bucket],
             new_n_buckets=8,
         )
+
+
+def test_cli_rebucket(spark, tmp_path):
+    """Operational surface: --mode rebucket as a fresh spark-submit-able
+    subprocess against an existing table."""
+    import subprocess
+
+    t = _make(spark, tmp_path, n_buckets=4)
+    before = _state(t)
+    r = subprocess.run(
+        ["python", "scripts/run_pipeline.py", "--mode", "rebucket",
+         "--target", t.root, "--key-cols", "id", "--new-n-buckets", "8",
+         "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0 and "rebucketed 4 -> 8 buckets" in r.stdout, \
+        r.stdout + r.stderr[-2000:]
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.snapshot().n_buckets == 8 and _state(t2) == before

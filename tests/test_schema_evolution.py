@@ -108,3 +108,79 @@ def test_out_of_order_across_keys_per_partition_order(spark, tmp_path):
     got = t.read().select("repo", "path", "content").toPandas()
     assert table_digest(got) == table_digest(oracle[["repo", "path", "content"]])
     assert len(applied_offsets(t)) == 4
+
+
+def test_alter_modify_widens_numeric_types(spark, tmp_path):
+    """ALTER TABLE MODIFY int -> bigint (and float -> double) mid-stream:
+    the manifest schema widens, pre-widening files read back promoted (no
+    rewrite — the vectorized parquet reader upcasts at scan time), values
+    past the narrow type's range land exactly, and a later batch that
+    regresses to the narrow type is cast UP on write, never narrowing."""
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("score", T.FloatType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "w"), payload, key_cols=["id"], n_buckets=4)
+
+    def batch(rows, size_t, score_t):
+        return spark.createDataFrame(
+            rows,
+            f"offset long, partition_id int, seq_in_tx int, op string, id long, "
+            f"after struct<size:{size_t},score:{score_t}>, ts timestamp",
+        )
+
+    apply_batch(t, batch([(k, 0, 0, "insert", k, (k * 10, float(k) / 2), None)
+                          for k in range(20)], "int", "float"), batch_id=0)
+    # upstream ALTER MODIFY: size -> bigint, score -> double; one value
+    # overflows int32 and one needs double precision
+    big, precise = 1 << 40, 1.0000000116861
+    apply_batch(t, batch([(100, 0, 0, "update", 3, (big, precise), None)],
+                         "bigint", "double"), batch_id=1)
+
+    snap = t.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["size"] == "bigint" and types["score"] == "double"
+    rows = {r["id"]: (r["size"], r["score"]) for r in t.read().collect()}
+    assert rows[3] == (big, precise), "post-ALTER values exact at full width"
+    assert rows[7] == (70, 3.5), "pre-ALTER files read back type-promoted"
+
+    # a narrow straggler batch (old producer) casts UP, never narrows back
+    apply_batch(t, batch([(200, 0, 0, "update", 5, (555, 5.5), None)],
+                         "int", "float"), batch_id=2)
+    snap2 = t.snapshot()
+    assert {f.name: f.dataType.simpleString() for f in snap2.schema.fields}["size"] == "bigint"
+    assert {r["id"]: r["size"] for r in t.read().collect()}[5] == 555
+
+
+def test_widening_through_delta_append(spark, tmp_path):
+    """The merge-on-read delta path widens too: a bigint batch delta-
+    appended onto an int base widens the manifest schema; reads promote
+    the narrow base files at scan time and resolve the delta rows under
+    the wide type; the fold keeps the widened values exact."""
+    from binlog_es_go_spark.lake.maintenance import compact_deltas
+
+    payload = T.StructType([T.StructField("id", T.LongType()), T.StructField("size", T.IntegerType())])
+    t = LakeTable.create(spark, str(tmp_path / "dw"), payload, key_cols=["id"], n_buckets=4)
+
+    def batch(rows, size_t):
+        return spark.createDataFrame(
+            rows,
+            f"offset long, partition_id int, seq_in_tx int, op string, id long, "
+            f"after struct<size:{size_t}>, ts timestamp",
+        )
+
+    apply_batch(t, batch([(k, 0, 0, "insert", k, (k,), None) for k in range(10)], "int"),
+                batch_id=0)
+    big = 1 << 40
+    apply_batch(t, batch([(100, 0, 0, "update", 3, (big,), None)], "bigint"),
+                batch_id=1, write_mode="delta")
+    assert t.snapshot().deltas
+    assert t.snapshot().schema["size"].dataType.simpleString() == "bigint"
+    rows = {r["id"]: r["size"] for r in t.read().collect()}
+    assert rows[3] == big and rows[7] == 7
+
+    compact_deltas(t)
+    assert not t.snapshot().deltas
+    rows2 = {r["id"]: r["size"] for r in t.read().collect()}
+    assert rows2 == rows
