@@ -796,6 +796,23 @@ WHERE {cos} >= {threshold}
 """
 
 
+def _embedding_neardup(spark, sf_dir):
+    """Both embedding near-dup paths under ONE hash gate, tagged by
+    method: 'brute' is the exact all-pairs baseline, 'lsh' the
+    hyperplane-bucketed scale path (merged into one registry row to stay
+    inside the driver's 50-row correctness artifact)."""
+    brute = _embedding_neardup_brute(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
+    lsh = _embedding_neardup_lsh(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
+    return brute.unionByName(lsh)
+
+
+def _embedding_neardup_oracle_sql() -> str:
+    return (
+        f"SELECT 'brute' AS method, * FROM ({_EMB_NEARDUP_ORACLE}) "
+        f"UNION ALL SELECT 'lsh' AS method, * FROM ({_embedding_lsh_oracle_sql()})"
+    )
+
+
 def _frame_sample(spark, sf_dir):
     """Video frame-sampling work-list (pure JVM sequence+explode)."""
     from binlog_es_go_spark.operators.multimodal import frame_sample_plan, synthesize_media
@@ -1289,6 +1306,7 @@ def _minhash_lsh(spark, sf_dir):
 def _minhash_oracle_sql(
     k: int = 32, bands: int = 8, max_bucket: int = 1000,
     threshold: float = 0.5, doc_filter: str = "doc_id < 300", seed: int = 42,
+    docs_sql: str | None = None,
 ) -> str:
     from binlog_es_go_spark.operators.dedup import _MERSENNE, _perm_params
 
@@ -1300,9 +1318,11 @@ def _minhash_oracle_sql(
         f"list_aggregate(list_transform(base, h -> (h * {a} + {b}) % {_MERSENNE}), 'min')"
         for a, b in _perm_params(k, seed)
     )
+    if docs_sql is None:
+        docs_sql = f"SELECT doc_id, text FROM documents WHERE {doc_filter}"
     return rf"""
-WITH w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws
-           FROM documents WHERE {doc_filter}),
+WITH d AS ({docs_sql}),
+w AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS ws FROM d),
 sh AS (SELECT id, list_distinct(CASE WHEN len(ws) >= 3
          THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
          ELSE [array_to_string(ws, ' ')] END) AS shingles FROM w),
@@ -1321,6 +1341,63 @@ SELECT id_a, id_b,
 FROM pairs
 WHERE len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / {k} >= {threshold}
 """
+
+
+def _incremental_lsh_index(spark, sf_dir):
+    """Near-dup LSH index maintained INCREMENTALLY through the CDC merge
+    (operators/lsh_index.py): a document changelog (insert all, then one
+    batch updating doc_id%7 text and deleting doc_id%10) replays into a
+    lake-backed band-bucket table keyed (id, band) — signatures are
+    computed only for each batch's upserts, deletes tombstone band rows,
+    the (offset, seq) guard dedups deliveries. The reference keeps a
+    search index in continuous sync with the source the same way
+    (pkg/realtime/loop.go:24-520); here the synced artifact is the
+    near-dup index itself. The oracle recomputes the ENTIRE banded
+    pipeline from the final LWW document set from scratch — incremental
+    maintenance must be indistinguishable from full recompute."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    after_t = T.StructType([T.StructField("text", T.StringType())])
+
+    def ev(df, off, op, text_col):
+        return df.select(
+            off.cast("long").alias("offset"),
+            F.lit(0).cast("int").alias("partition_id"),
+            F.lit(0).cast("int").alias("seq_in_tx"),
+            F.lit(op).alias("op"),
+            F.col("doc_id"),
+            (F.struct(text_col.alias("text")) if op != "delete" else F.lit(None)).cast(after_t).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+
+    inserts = ev(_spread(spark, docs), F.col("doc_id"), "insert", F.col("text"))
+    updates = ev(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        F.col("doc_id") + 100000, "update", F.concat(F.col("text"), F.lit(" updated")),
+    )
+    deletes = ev(docs.filter(F.col("doc_id") % 10 == 0), F.col("doc_id") + 200000, "delete", F.col("text"))
+
+    root = tempfile.mkdtemp(prefix="lsh_index_")
+    idx = LshIndex.create(spark, root + "/ix", k=32, bands=8, hash_fn="md5", n_buckets=8)
+    idx.apply_doc_batch(inserts, batch_id=0)
+    idx.apply_doc_batch(updates.unionByName(deletes), batch_id=1)
+    return idx.candidate_pairs(min_est=0.5).select("id_a", "id_b", "est_jaccard")
+
+
+def _incremental_lsh_oracle_sql() -> str:
+    # full from-scratch recompute over the final LWW doc set: %10 deleted
+    # (delete offset outranks the %7 update for %70 ids), %7 text updated
+    return _minhash_oracle_sql(
+        docs_sql=(
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text "
+            "FROM documents WHERE doc_id < 300 AND doc_id % 10 != 0"
+        )
+    )
 
 
 def _simhash(spark, sf_dir):
@@ -2093,8 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "near_dup_clusters": _near_dup_clusters,
-        "embedding_neardup_brute": _embedding_neardup_brute,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "embedding_neardup": _embedding_neardup,
+        "incremental_lsh_index": _incremental_lsh_index,
         "ann_cosine_topk": _ann_cosine_topk,
         "ivf_topk_ann": _ivf_ann,
         "ivf_kmeans_topk_ann": _ivf_kmeans_ann,
@@ -2144,8 +2221,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "es_bulk_actions": _ES_BULK_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
-        "embedding_neardup_brute": _EMB_NEARDUP_ORACLE,
-        "embedding_neardup_lsh": _embedding_lsh_oracle_sql(),
+        "embedding_neardup": _embedding_neardup_oracle_sql(),
+        "incremental_lsh_index": _incremental_lsh_oracle_sql(),
         "frame_sample_plan": _FRAME_SAMPLE_ORACLE,
         "lang_id_counts": _LANG_ID_ORACLE,
         "doc_quality_tokens": _QUALITY_ORACLE,

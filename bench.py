@@ -117,7 +117,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ivf_topk_ann",
-    "embedding_neardup_lsh",
+    "embedding_neardup",
     "sessionize_events",
     "cdc_replay_events",
     "doc_quality_tokens",

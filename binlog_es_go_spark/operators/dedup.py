@@ -156,49 +156,61 @@ def minhash_signature_md5(
     )
 
 
-def minhash_lsh_candidates(
+def band_hash(sig_col: Column, band: int, r: int, hash_fn: str = "xxhash64") -> Column:
+    """LSH bucket id for one band: hash of signature elements
+    [band*r, band*r+r), always a STRING so an index table keyed on it has
+    one schema regardless of ``hash_fn`` ("md5" = hex digest the oracle
+    reproduces; "xxhash64" = decimal rendering of the 64-bit hash)."""
+    sl = F.slice(sig_col, band * r + 1, r)
+    if hash_fn == "md5":
+        return F.md5(F.array_join(sl.cast("array<string>"), "|"))
+    return F.xxhash64(sl.cast("string")).cast("string")
+
+
+def banded_signature_rows(
     df: DataFrame,
-    text_col: str,
+    text_col: str | Column,
     id_col: str,
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
-    max_bucket_size: int = 1000,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over MinHash signatures.
-
-    signature -> b bands of r=k/b rows; docs sharing any band hash are
-    candidates. Pair estimated similarity = fraction of matching signature
-    elements. ``max_bucket_size`` drops degenerate buckets (boilerplate)
-    — a skew cap, logged out as dropped rather than silently exploding.
-
-    ``hash_fn``: "xxhash64" (production: cheap 64-bit arithmetic) or
-    "md5" (oracle-checkable: DuckDB recomputes the identical signature).
-    """
+    """(id, sig, band, bh) — one row per (document, band): the banded-LSH
+    index rows for the given documents. Shared by the batch candidate
+    pipeline (:func:`minhash_lsh_candidates`) and the incrementally
+    maintained index (operators/lsh_index.py), so both compute identical
+    buckets by construction."""
     assert k % bands == 0, "k must be divisible by bands"
     r = k // bands
     if hash_fn == "md5":
         sig = minhash_signature_md5(text_col, k, shingle_n)
-        band_hash = lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r).cast("array<string>"), "|"))  # noqa: E731
     else:
         sig = minhash_signature(text_col, k, shingle_n, seed)
-        band_hash = lambda b: F.xxhash64(F.slice("sig", b * r + 1, r).cast("string"))  # noqa: E731
     sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(F.col("sig"), b, r, hash_fn).alias("bh"),
+                    )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
+
+def lsh_pairs_from_band_rows(banded: DataFrame, k: int, max_bucket_size: int = 1000) -> DataFrame:
+    """Candidate pairs from (id, sig, band, bh) rows: docs sharing any
+    band bucket pair up (id_a < id_b, deduped across bands), estimated
+    similarity = fraction of matching signature elements. Buckets larger
+    than ``max_bucket_size`` are dropped (boilerplate skew cap)."""
     bucket_w = Window.partitionBy("band", "bh")
     banded = banded.withColumn("_bn", F.count("*").over(bucket_w)).filter(
         F.col("_bn") <= max_bucket_size
@@ -222,6 +234,31 @@ def minhash_lsh_candidates(
         float(k)
     )
     return pairs.select("id_a", "id_b", sim.alias("est_jaccard"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    signature -> b bands of r=k/b rows; docs sharing any band hash are
+    candidates. Pair estimated similarity = fraction of matching signature
+    elements. ``max_bucket_size`` drops degenerate buckets (boilerplate)
+    — a skew cap, logged out as dropped rather than silently exploding.
+
+    ``hash_fn``: "xxhash64" (production: cheap 64-bit arithmetic) or
+    "md5" (oracle-checkable: DuckDB recomputes the identical signature).
+    """
+    banded = banded_signature_rows(df, text_col, id_col, k, bands, shingle_n, seed, hash_fn)
+    return lsh_pairs_from_band_rows(banded, k, max_bucket_size)
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,183 @@
+"""Incrementally-maintained LSH index (operators/lsh_index.py).
+
+The invariant under test everywhere: after any sequence of document
+upserts/deletes applied through the guarded MERGE, the index state is
+INDISTINGUISHABLE from rebuilding the banded signature table from the
+final document set — incremental maintenance must not be observable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlog_es_go_spark.operators.dedup import banded_signature_rows, minhash_lsh_candidates
+from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+AFTER_T = T.StructType([T.StructField("text", T.StringType())])
+
+DOCS = [
+    # three near-dup clusters + singletons; every text >= 3 words
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox leaps over the lazy dog"),
+    (10, "pack my box with five dozen liquor jugs tonight"),
+    (11, "pack my box with five dozen liquor jugs today"),
+    (20, "completely unrelated sentence about distributed query engines"),
+    (21, "sphinx of black quartz judge my vow swiftly"),
+    (30, "colorless green ideas sleep furiously in the night"),
+    (31, "colorless green ideas sleep furiously in the day"),
+    # exact duplicates (ids survive both the %3 update and %10 delete):
+    # every band matches, so at least one candidate pair is guaranteed
+    # regardless of how the near-dup shingle sets land in the bands
+    (41, "the five boxing wizards jump quickly over the frozen river tonight"),
+    (43, "the five boxing wizards jump quickly over the frozen river tonight"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def _ev(df, off_col, op, text_col):
+    return df.select(
+        off_col.cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit(op).alias("op"),
+        F.col("doc_id"),
+        (F.struct(text_col.alias("text")) if op != "delete" else F.lit(None)).cast(AFTER_T).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _fresh_index(spark, tmp_path, **kw):
+    kw.setdefault("k", 16)
+    kw.setdefault("bands", 4)
+    kw.setdefault("n_buckets", 4)
+    return LshIndex.create(spark, str(tmp_path / "ix"), **kw)
+
+
+def _final_docs(spark):
+    """What the doc set looks like after the update+delete batch below."""
+    docs = _docs_df(spark)
+    return docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" revised")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _apply_two_batches(spark, idx):
+    docs = _docs_df(spark)
+    idx.apply_doc_batch(_ev(docs, F.col("doc_id"), "insert", F.col("text")), batch_id=0)
+    updates = _ev(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        F.col("doc_id") + 1000, "update", F.concat(F.col("text"), F.lit(" revised")),
+    )
+    deletes = _ev(docs.filter(F.col("doc_id") % 10 == 0), F.col("doc_id") + 2000, "delete", F.col("text"))
+    idx.apply_doc_batch(updates.unionByName(deletes), batch_id=1)
+
+
+def test_incremental_index_equals_full_rebuild(spark, tmp_path):
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+
+    got = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in idx.band_rows().collect()
+    }
+    want = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in banded_signature_rows(
+            _final_docs(spark), "text", "doc_id", k=16, bands=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_candidate_pairs_match_batch_operator(spark, tmp_path):
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.candidate_pairs().collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_candidates(_final_docs(spark), "text", "doc_id", k=16, bands=4).collect()
+    }
+    assert got == want
+    assert got, "fixture must actually produce candidate pairs"
+
+
+def test_delete_tombstones_all_band_rows(spark, tmp_path):
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+
+    live_ids = {r["id"] for r in idx.band_rows().select("id").distinct().collect()}
+    assert 10 not in live_ids and 20 not in live_ids and 30 not in live_ids
+    per_doc = idx.band_rows().groupBy("id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc), "each live doc has exactly `bands` rows"
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+    before = sorted(map(str, idx.band_rows().collect()))
+
+    # duplicate delivery of batch 1 (same offsets) must be a no-op
+    docs = _docs_df(spark)
+    updates = _ev(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        F.col("doc_id") + 1000, "update", F.concat(F.col("text"), F.lit(" revised")),
+    )
+    deletes = _ev(docs.filter(F.col("doc_id") % 10 == 0), F.col("doc_id") + 2000, "delete", F.col("text"))
+    idx.apply_doc_batch(updates.unionByName(deletes), batch_id=2)
+    after = sorted(map(str, idx.band_rows().collect()))
+    assert before == after
+
+
+def test_stale_update_rejected_per_key(spark, tmp_path):
+    """An update delivered with an OLDER offset than the applied one must
+    lose the guard for every band row of the doc."""
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+    before = sorted(map(str, idx.band_rows().filter(F.col("id") == 3).collect()))
+
+    docs = _docs_df(spark).filter(F.col("doc_id") == 3)
+    stale = _ev(docs, F.lit(1), "update", F.lit("stale text that must not win"))
+    idx.apply_doc_batch(stale, batch_id=3)
+    after = sorted(map(str, idx.band_rows().filter(F.col("id") == 3).collect()))
+    assert before == after
+
+
+def test_probe_restricted_pairs(spark, tmp_path):
+    """Probing only changed ids returns exactly the full pair set
+    restricted to pairs touching those ids — the O(changed) query path."""
+    idx = _fresh_index(spark, tmp_path)
+    _apply_two_batches(spark, idx)
+
+    full = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.candidate_pairs().collect()
+    }
+    probe = spark.createDataFrame([(41,)], ["id"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.candidate_pairs(probe_ids=probe).collect()
+    }
+    want = {pair: v for pair, v in full.items() if 41 in pair}
+    assert got == want and got
+
+
+def test_load_roundtrips_params(spark, tmp_path):
+    idx = _fresh_index(spark, tmp_path, k=32, bands=8, hash_fn="md5", seed=7)
+    _apply_two_batches(spark, idx)
+    loaded = LshIndex.load(spark, str(tmp_path / "ix"))
+    assert (loaded.k, loaded.bands, loaded.shingle_n, loaded.seed, loaded.hash_fn) == (32, 8, 3, 7, "md5")
+    assert loaded.band_rows().count() == idx.band_rows().count()
