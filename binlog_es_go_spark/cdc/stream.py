@@ -111,6 +111,7 @@ def start_tail(
     on_error: Callable[[int, DataFrame, Exception], None] | None = None,
     salt_partitions: int | None = None,
     circuit=None,
+    apply_fn: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:
     """Start the incremental tail; returns the StreamingQuery handle.
 
@@ -125,6 +126,11 @@ def start_tail(
     exponential backoff (``pkg/pipeline/sink/bulkwriter.go:50-96``), so a
     persistently failing sink throttles the tail instead of dead-lettering
     every batch at full speed; one success closes it.
+
+    ``apply_fn``: custom per-batch sink (batch_df, batch_id) replacing the
+    default guarded MERGE into ``table`` — derived sinks (e.g. the LSH
+    near-dup index, operators/lsh_index.py) tail the same changelog with
+    the same dead-letter/circuit choreography.
     """
     from pyspark.sql import functions as F
 
@@ -138,10 +144,13 @@ def start_tail(
         if circuit is not None:
             circuit.before_attempt()
         try:
-            apply_batch(
-                table, batch, mapper=mapper, batch_id=batch_id,
-                source="realtime", salt_partitions=salt_partitions,
-            )
+            if apply_fn is not None:
+                apply_fn(batch, batch_id)
+            else:
+                apply_batch(
+                    table, batch, mapper=mapper, batch_id=batch_id,
+                    source="realtime", salt_partitions=salt_partitions,
+                )
             if circuit is not None:
                 circuit.record_success()
         except Exception as exc:  # noqa: BLE001 — dead-letter boundary

@@ -191,6 +191,34 @@ class LshIndex:
             **apply_kwargs,
         )
 
+    def start_tail(
+        self,
+        changelog: DataFrame,
+        checkpoint_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **tail_kwargs,
+    ):
+        """Tail a streaming document changelog into the index — the same
+        checkpointed foreachBatch loop (dead-letter hook, circuit
+        breaker, resume-on-restart) the document lake's tail uses
+        (cdc/stream.py:start_tail), with the index MERGE as the sink.
+        A dual-sink deployment runs one tail into the document table and
+        one into the index off the same source with separate checkpoints;
+        each resumes independently and the (offset, seq) guard absorbs
+        the replay overlap after a crash."""
+        from binlog_es_go_spark.cdc.stream import start_tail
+
+        return start_tail(
+            self.table,
+            changelog,
+            checkpoint_dir,
+            apply_fn=lambda batch, bid: self.apply_doc_batch(
+                batch, batch_id=bid, id_col=id_col, text_col=text_col
+            ),
+            **tail_kwargs,
+        )
+
     # ------------------------------------------------------------ query
     def band_rows(self) -> DataFrame:
         """Live (id, sig, band, bh) rows — the same shape

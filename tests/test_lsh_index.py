@@ -175,6 +175,42 @@ def test_probe_restricted_pairs(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_tail_into_index(spark, tmp_path):
+    """The index tails a checkpointed document stream through the same
+    foreachBatch loop as the document lake — final state must equal a
+    full rebuild from the final doc set."""
+    docs = _docs_df(spark)
+    inserts = _ev(docs, F.col("doc_id"), "insert", F.col("text"))
+    updates = _ev(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        F.col("doc_id") + 1000, "update", F.concat(F.col("text"), F.lit(" revised")),
+    )
+    deletes = _ev(docs.filter(F.col("doc_id") % 10 == 0), F.col("doc_id") + 2000, "delete", F.col("text"))
+
+    events_dir = str(tmp_path / "events")
+    for batch in (inserts, updates.unionByName(deletes)):
+        batch.coalesce(1).write.mode("append").parquet(events_dir)
+
+    idx = _fresh_index(spark, tmp_path)
+    stream = spark.readStream.schema(inserts.schema).option("maxFilesPerTrigger", "1").parquet(events_dir)
+    q = idx.start_tail(stream, str(tmp_path / "ckpt"), trigger={"availableNow": True})
+    try:
+        assert q.awaitTermination(300), "stream did not drain"
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in idx.band_rows().collect()
+    }
+    want = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in banded_signature_rows(_final_docs(spark), "text", "doc_id", k=16, bands=4).collect()
+    }
+    assert got == want
+
+
 def test_load_roundtrips_params(spark, tmp_path):
     idx = _fresh_index(spark, tmp_path, k=32, bands=8, hash_fn="md5", seed=7)
     _apply_two_batches(spark, idx)
