@@ -146,3 +146,29 @@ def test_ivf_kmeans_corpus_side_no_shuffle(spark):
         assert marker not in plan, f"Python in the IVF hot path: {marker}"
     # exactly one data shuffle: the top-k window on query_id
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
+
+
+def test_lsh_index_band_events_jvm_only(spark, tmp_path):
+    """The incremental index's per-batch signature+banding transform must
+    stay inside codegen — no Python eval nodes, and no shuffle: the fan-out
+    from doc events to band rows is map-side (the MERGE downstream owns the
+    one wide exchange)."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex.create(spark, str(tmp_path / "ix"), k=16, bands=4)
+    after_t = T.StructType([T.StructField("text", T.StringType())])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit("insert").alias("op"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.struct(F.col("text").alias("text")).cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    plan = plan_of(idx.band_events(docs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python in the index maintenance path: {marker}"
+    assert "Exchange" not in plan, "band fan-out must be map-side only"
