@@ -28,7 +28,7 @@ def main() -> int:
     ap.add_argument("--mode", required=True,
                     choices=["realtime", "bootstrap", "self-check", "replay-deadletters",
                              "compact", "expire-snapshots", "stats", "replicate", "export",
-                             "compact-deltas", "rebucket"])
+                             "compact-deltas", "rebucket", "lsh-index"])
     ap.add_argument("--target", help="lake table root (or target_table_path from --config)")
     ap.add_argument("--events", help="changelog parquet dir (realtime/self-check)")
     ap.add_argument("--source", help="base-table parquet (bootstrap/replay)")
@@ -86,6 +86,12 @@ def main() -> int:
     ap.add_argument("--until-idle", action="store_true",
                     help="export --follow: exit as soon as the table has no undelivered "
                          "range (catch-up jobs / tests)")
+    ap.add_argument("--lsh-k", type=int, default=64, help="lsh-index: signature length")
+    ap.add_argument("--lsh-bands", type=int, default=16, help="lsh-index: LSH bands")
+    ap.add_argument("--lsh-hash", default="xxhash64", choices=["xxhash64", "md5"],
+                    help="lsh-index: base hash (md5 = cross-engine-checkable)")
+    ap.add_argument("--id-col", default="doc_id", help="lsh-index: document key column")
+    ap.add_argument("--text-col", default="text", help="lsh-index: document text column")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -330,6 +336,32 @@ def main() -> int:
         res = run_full_scan(table, source, epoch_offset=args.epoch_offset, where=args.where,
                             mapper=mapper)
         print(f"bootstrap committed v{res.version} ({len(res.affected_buckets)} buckets, {res.wall_sec:.1f}s)")
+        return 0
+
+    if args.mode == "lsh-index":
+        # near-dup index tail: same checkpointed loop as realtime, sink =
+        # the incrementally-maintained banded LSH table (operators/lsh_index.py)
+        from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+        if not (args.events and args.checkpoint):
+            ap.error("--events and --checkpoint are required for --mode lsh-index")
+        if LakeTable.exists(cfg.target_table_path):
+            idx = LshIndex.load(spark, cfg.target_table_path)
+        else:
+            idx = LshIndex.create(
+                spark, cfg.target_table_path, k=args.lsh_k, bands=args.lsh_bands,
+                hash_fn=args.lsh_hash, n_buckets=args.n_buckets,
+            )
+        stream = spark.readStream.schema(spark.read.parquet(args.events).schema).parquet(args.events)
+        q = idx.start_tail(
+            stream, args.checkpoint, id_col=args.id_col, text_col=args.text_col,
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(args.timeout_sec):
+            q.stop()
+            raise TimeoutError(f"stream did not drain within {args.timeout_sec}s")
+        n = idx.band_rows().select("id").distinct().count()
+        print(f"lsh-index drained; {n} docs indexed at {cfg.target_table_path}")
         return 0
 
     if args.mode == "realtime":

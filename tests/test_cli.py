@@ -298,3 +298,61 @@ def test_cli_export_follow_tail(spark, tmp_path):
         assert len(stub.docs) == 14
     finally:
         srv.shutdown()
+
+
+def test_cli_lsh_index_tail_with_restart(spark, tmp_path):
+    """--mode lsh-index: create-and-drain, then a SECOND CLI run (fresh
+    JVM, same checkpoint) picks up a later batch — final index equals a
+    full rebuild from the final doc set."""
+    from binlog_es_go_spark.operators.dedup import banded_signature_rows
+
+    docs = [(i, f"sentence number {i} about incremental index maintenance flows") for i in range(8)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ev(df, off_col, op, text_col):
+        return df.select(
+            off_col.cast("long").alias("offset"),
+            F.lit(0).cast("int").alias("partition_id"),
+            F.lit(0).cast("int").alias("seq_in_tx"),
+            F.lit(op).alias("op"),
+            F.col("doc_id"),
+            (F.struct(text_col.alias("text")) if op != "delete" else F.lit(None)).cast(
+                "struct<text:string>"
+            ).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+
+    events_dir = str(tmp_path / "events")
+    target = str(tmp_path / "ix")
+    ckpt = str(tmp_path / "ckpt")
+    base = ["--mode", "lsh-index", "--target", target, "--events", events_dir,
+            "--checkpoint", ckpt, "--lsh-k", "16", "--lsh-bands", "4",
+            "--n-buckets", "4", "--key-cols", "id,band"]
+
+    ev(ddf, F.col("doc_id"), "insert", F.col("text")).coalesce(1).write.mode("append").parquet(events_dir)
+    r1 = _run(base)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "8 docs indexed" in r1.stdout
+
+    # batch 2 lands after the first drain: update doc 0, delete doc 7
+    upd = ev(ddf.filter(F.col("doc_id") == 0), F.lit(100), "update",
+             F.concat(F.col("text"), F.lit(" revised")))
+    dele = ev(ddf.filter(F.col("doc_id") == 7), F.lit(101), "delete", F.col("text"))
+    upd.unionByName(dele).coalesce(1).write.mode("append").parquet(events_dir)
+    r2 = _run(base)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "7 docs indexed" in r2.stdout
+
+    final_docs = spark.createDataFrame(
+        [(0, docs[0][1] + " revised")] + [(i, t) for i, t in docs[1:7]],
+        "doc_id long, text string",
+    )
+    from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex.load(spark, target)
+    got = {(r["id"], r["band"]): (r["bh"], tuple(r["sig"])) for r in idx.band_rows().collect()}
+    want = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in banded_signature_rows(final_docs, "text", "doc_id", k=16, bands=4).collect()
+    }
+    assert got == want
