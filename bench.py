@@ -318,6 +318,82 @@ def cc_scale_bench(cores: int) -> dict:
         spark.stop()
 
 
+def lsh_index_bench(cores: int, n_docs: int = 100_000, batches: int = 5,
+                    docs_per_batch: int = 200) -> dict:
+    """Incremental LSH index maintenance (operators/lsh_index.py): build
+    the index over an n_docs corpus once, then apply small update batches
+    and time each. The number that matters at 100 TB is sec_per_batch vs
+    full_pass_sec — the cost the incremental path avoids paying per batch
+    (recomputing every signature). Synthetic text is deterministic in
+    doc_id (no RNG — resume-safe)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from binlog_es_go_spark.operators.lsh_index import LshIndex
+    from binlog_es_go_spark.session import build_session
+
+    spark = build_session("bench-lsh", parallelism=cores, shuffle_partitions=cores)
+    root = tempfile.mkdtemp(prefix="bench_lsh_", dir=SCRATCH)
+    try:
+        words = F.array(*[F.lit(w) for w in (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        ).split()])
+        # 12 words per doc, word i drawn by a doc-dependent hash — unique
+        # docs with heavy shingle overlap, the realistic LSH workload
+        text = F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(12)),
+                        lambda i: F.element_at(words, (F.pmod(F.xxhash64(F.col("doc_id") * 31 + i), F.lit(20)) + 1).cast("int"))),
+            " ",
+        )
+        docs = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+        def ev(df, off_col, op, text_col):
+            return df.select(
+                off_col.cast("long").alias("offset"),
+                F.lit(0).cast("int").alias("partition_id"),
+                F.lit(0).cast("int").alias("seq_in_tx"),
+                F.lit(op).alias("op"),
+                F.col("doc_id"),
+                F.struct(text_col.alias("text")).cast("struct<text:string>").alias("after"),
+                F.lit(None).cast("timestamp").alias("ts"),
+            )
+
+        idx = LshIndex.create(spark, root + "/ix", k=32, bands=8, n_buckets=32)
+        t0 = time.time()
+        idx.apply_doc_batch(ev(docs, F.col("doc_id"), "insert", F.col("text")), batch_id=0)
+        build_sec = time.time() - t0
+
+        # one full signature pass over the corpus = the per-batch cost a
+        # non-incremental design pays (count() forces the compute)
+        from binlog_es_go_spark.operators.dedup import banded_signature_rows
+
+        t0 = time.time()
+        banded_signature_rows(docs, "text", "doc_id", k=32, bands=8).count()
+        full_pass_sec = time.time() - t0
+
+        t0 = time.time()
+        for b in range(1, batches + 1):
+            upd = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_docs // docs_per_batch)) == b).select(
+                "doc_id", F.concat(F.col("text"), F.lit(f" rev{b}")).alias("text")
+            )
+            idx.apply_doc_batch(
+                ev(upd.coalesce(1), F.col("doc_id") + b * n_docs, "update", F.col("text")),
+                batch_id=b,
+            )
+        batch_wall = time.time() - t0
+        return {
+            "docs": n_docs, "batches": batches, "docs_per_batch": docs_per_batch,
+            "build_sec": round(build_sec, 2),
+            "full_pass_sec": round(full_pass_sec, 2),
+            "sec_per_batch": round(batch_wall / batches, 3),
+        }
+    finally:
+        spark.stop()
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from binlog_es_go_spark.cdc.events import generate_changelog
     from binlog_es_go_spark.session import build_session
@@ -459,6 +535,11 @@ def main() -> None:
     print(f"cc: chain {cc['chain_rounds']} rounds/{cc['chain_sec']}s, "
           f"giant {cc['giant_rounds']} rounds/{cc['giant_sec']}s", file=sys.stderr)
 
+    print("incremental LSH index maintenance ...", file=sys.stderr)
+    lsh = lsh_index_bench(cores=min(8, CPUS))
+    print(f"lsh index: build {lsh['build_sec']}s, {lsh['sec_per_batch']}s/batch "
+          f"vs {lsh['full_pass_sec']}s full pass", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -502,6 +583,9 @@ def main() -> None:
         # near-dup cluster resolution at adversarial graph shape: rounds
         # must stay O(log diameter) (chain) and O(log n) (giant component)
         "cc_scale": cc,
+        # incremental LSH index: per-batch maintenance cost vs the full
+        # signature pass a non-incremental design would pay every batch
+        "lsh_index": lsh,
     }
     print(json.dumps(result))
 

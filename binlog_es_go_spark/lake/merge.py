@@ -131,10 +131,19 @@ def dedup_last_writer(
     (``pkg/realtime/helpers.go:39-53``) and relies on binlog total order;
     here ordering is explicit: ties on offset break by ``seq_in_tx``
     (SURVEY §7 hard part 2).
+
+    A full (offset, seq) tie between DIFFERENT events cannot occur in the
+    domain (a binlog position identifies one physical event; duplicate
+    delivery re-ships identical bytes, where any pick is the same row) —
+    the trailing ``op`` tiebreak is defensive determinism so that even a
+    malformed feed yields a winner that is a pure function of the batch
+    content, not of partition scheduling.
     """
     order = [F.col(offset_col).desc()]
     if seq_col and seq_col in source.columns:
         order.append(F.col(seq_col).desc())
+    if "op" in source.columns:
+        order.append(F.col("op").desc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         source.withColumn("_rn", F.row_number().over(w))
