@@ -26,6 +26,22 @@ At 100 TB the index table is bucketed by crc32(id, band) like any lake
 table: a batch's MERGE touches only the buckets its (id, band) keys
 hash to, and the candidate probe joins only the CHANGED docs' band rows
 against the index (broadcast the probe side), never all-pairs.
+
+Storage layouts (``sig_store``):
+
+* ``"inline"`` (default) — every band row carries the full signature:
+  one table, one commit per batch, candidate scoring is a self-join.
+  Costs ``bands`` copies of the signature per doc (~2.4 KB/doc at
+  k=32/bands=8) — right for corpora up to the low billions of rows.
+* ``"table"`` — band rows are (id, band, bh) only (~40 B/row);
+  signatures live ONCE per doc in a sibling lake table keyed (id).
+  ~4x less index bytes and write amplification at k=32/bands=8 — the
+  100 TB layout — at the cost of a second commit per batch and a
+  sig join at query time. The two tables need no cross-table atomic
+  commit: both are idempotent functions of the same changelog, each
+  gated by its own per-key (offset, seq) guard, so a crash between the
+  two commits is healed by replaying the batch (the already-committed
+  table no-ops).
 """
 
 from __future__ import annotations
@@ -46,19 +62,21 @@ from binlog_es_go_spark.operators.dedup import (
 )
 
 _META_COLS = ("offset", "partition_id", "seq_in_tx", "op", "ts")
+_SIGS_SUBDIR = "sigs"
 
 
 class LshIndex:
     """A banded MinHash-LSH index backed by a :class:`LakeTable`.
 
-    Schema: key ``(id, band)``, values ``bh`` (band bucket hash, string)
-    and ``sig`` (full signature, array<bigint> — carried so candidate
-    scoring needs no second pass over document text). LSH parameters are
-    pinned in the table manifest at create time; ``load`` reads them
-    back, so writers and readers cannot disagree on k/bands/seed.
+    Band table: key ``(id, band)``, value ``bh`` (band bucket hash,
+    string) and — in the ``inline`` layout — ``sig`` (full signature,
+    array<bigint>, carried so candidate scoring needs no second pass
+    over document text). LSH parameters are pinned in the table manifest
+    at create time; ``load`` reads them back, so writers and readers
+    cannot disagree on k/bands/seed.
     """
 
-    def __init__(self, table: LakeTable):
+    def __init__(self, table: LakeTable, sigs: LakeTable | None = None):
         self.table = table
         p = table.snapshot().properties
         self.k = int(p["lsh.k"])
@@ -66,6 +84,10 @@ class LshIndex:
         self.shingle_n = int(p["lsh.shingle_n"])
         self.seed = int(p["lsh.seed"])
         self.hash_fn = p["lsh.hash_fn"]
+        self.sig_store = p.get("lsh.sig_store", "inline")
+        self.sigs = sigs
+        if self.sig_store == "table" and sigs is None:
+            raise ValueError("sig_store='table' index requires its sigs table (use LshIndex.load)")
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -80,20 +102,21 @@ class LshIndex:
         seed: int = 42,
         hash_fn: str = "xxhash64",
         n_buckets: int = 16,
+        sig_store: str = "inline",
     ) -> "LshIndex":
         assert k % bands == 0, "k must be divisible by bands"
-        schema = T.StructType(
-            [
-                T.StructField("id", T.LongType()),
-                T.StructField("band", T.IntegerType()),
-                T.StructField("bh", T.StringType()),
-                T.StructField("sig", T.ArrayType(T.LongType())),
-            ]
-        )
+        assert sig_store in ("inline", "table")
+        fields = [
+            T.StructField("id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bh", T.StringType()),
+        ]
+        if sig_store == "inline":
+            fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
         table = LakeTable.create(
             spark,
             root,
-            schema,
+            T.StructType(fields),
             key_cols=["id", "band"],
             n_buckets=n_buckets,
             properties={
@@ -102,15 +125,39 @@ class LshIndex:
                 "lsh.shingle_n": str(shingle_n),
                 "lsh.seed": str(seed),
                 "lsh.hash_fn": hash_fn,
+                "lsh.sig_store": sig_store,
             },
         )
-        return cls(table)
+        sigs = None
+        if sig_store == "table":
+            sigs = LakeTable.create(
+                spark,
+                f"{root}/{_SIGS_SUBDIR}",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("sig", T.ArrayType(T.LongType())),
+                    ]
+                ),
+                key_cols=["id"],
+                n_buckets=n_buckets,
+            )
+        return cls(table, sigs)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LshIndex":
-        return cls(LakeTable.load(spark, root))
+        table = LakeTable.load(spark, root)
+        sigs = None
+        if table.snapshot().properties.get("lsh.sig_store", "inline") == "table":
+            sigs = LakeTable.load(spark, f"{root}/{_SIGS_SUBDIR}")
+        return cls(table, sigs)
 
     # ------------------------------------------------------------ maintain
+    def _sig_expr(self, text_col):
+        if self.hash_fn == "md5":
+            return minhash_signature_md5(text_col, self.k, self.shingle_n)
+        return minhash_signature(text_col, self.k, self.shingle_n, self.seed)
+
     def band_events(
         self, doc_events: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
@@ -124,37 +171,30 @@ class LshIndex:
         because every band row of a doc moves with the same offset.
         """
         r = self.k // self.bands
-        after_t = T.StructType(
-            [
-                T.StructField("bh", T.StringType()),
-                T.StructField("sig", T.ArrayType(T.LongType())),
-            ]
-        )
+        inline = self.sig_store == "inline"
+        after_fields = [T.StructField("bh", T.StringType())]
+        if inline:
+            after_fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+        after_t = T.StructType(after_fields)
         meta = [F.col(c) for c in _META_COLS]
         doc_id = F.col(id_col).cast("long").alias("id")
 
-        text = F.col(f"after.{text_col}")
-        sig = (
-            minhash_signature_md5(text, self.k, self.shingle_n)
-            if self.hash_fn == "md5"
-            else minhash_signature(text, self.k, self.shingle_n, self.seed)
-        )
+        def after_struct(b: int):
+            bh = band_hash(F.col("_sig"), b, r, self.hash_fn).alias("bh")
+            if inline:
+                return F.struct(bh, F.col("_sig").alias("sig")).cast(after_t)
+            return F.struct(bh).cast(after_t)
+
         upserts = (
             doc_events.filter(F.col("op") != "delete")
-            .withColumn("_sig", sig)
+            .withColumn("_sig", self._sig_expr(F.col(f"after.{text_col}")))
             .select(
                 *meta,
                 doc_id,
                 F.explode(
                     F.array(
                         *[
-                            F.struct(
-                                F.lit(b).alias("band"),
-                                F.struct(
-                                    band_hash(F.col("_sig"), b, r, self.hash_fn).alias("bh"),
-                                    F.col("_sig").alias("sig"),
-                                ).cast(after_t).alias("after"),
-                            )
+                            F.struct(F.lit(b).alias("band"), after_struct(b).alias("after"))
                             for b in range(self.bands)
                         ]
                     )
@@ -174,6 +214,23 @@ class LshIndex:
         )
         return upserts.unionByName(deletes)
 
+    def sig_events(
+        self, doc_events: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Document changelog -> per-doc signature changelog (one row per
+        doc event) for the ``table`` layout's sigs table."""
+        after_t = T.StructType([T.StructField("sig", T.ArrayType(T.LongType()))])
+        meta = [F.col(c) for c in _META_COLS]
+        doc_id = F.col(id_col).cast("long").alias("id")
+        return doc_events.select(
+            *meta,
+            doc_id,
+            F.when(
+                F.col("op") != "delete",
+                F.struct(self._sig_expr(F.col(f"after.{text_col}")).alias("sig")),
+            ).cast(after_t).alias("after"),
+        )
+
     def apply_doc_batch(
         self,
         doc_events: DataFrame,
@@ -183,13 +240,24 @@ class LshIndex:
         **apply_kwargs,
     ) -> MergeResult:
         """Apply one document-changelog micro-batch to the index —
-        signatures computed for this batch's upserts only."""
-        return apply_batch(
+        signatures computed for this batch's upserts only. In the
+        ``table`` layout this is two commits (bands, then sigs), each
+        independently guarded and idempotent; see the module docstring
+        for the crash-between-commits argument."""
+        result = apply_batch(
             self.table,
             self.band_events(doc_events, id_col=id_col, text_col=text_col),
             batch_id=batch_id,
             **apply_kwargs,
         )
+        if self.sig_store == "table":
+            apply_batch(
+                self.sigs,
+                self.sig_events(doc_events, id_col=id_col, text_col=text_col),
+                batch_id=batch_id,
+                **apply_kwargs,
+            )
+        return result
 
     def start_tail(
         self,
@@ -222,8 +290,14 @@ class LshIndex:
     # ------------------------------------------------------------ query
     def band_rows(self) -> DataFrame:
         """Live (id, sig, band, bh) rows — the same shape
-        dedup.banded_signature_rows produces from raw text."""
-        return self.table.read().select("id", "sig", "band", "bh")
+        dedup.banded_signature_rows produces from raw text. In the
+        ``table`` layout the signature joins in from the sigs table
+        (bands-side key join; at probe scale the per-band fan-out is the
+        big side and the join is key-local)."""
+        rows = self.table.read()
+        if self.sig_store == "table":
+            rows = rows.join(self.sigs.read(), "id")
+        return rows.select("id", "sig", "band", "bh")
 
     def candidate_pairs(
         self,

@@ -175,6 +175,42 @@ def test_probe_restricted_pairs(spark, tmp_path):
     assert got == want and got
 
 
+def test_sig_store_table_layout_equivalent(spark, tmp_path):
+    """The normalized layout (band rows carry no signature; sigs live
+    once per doc in a sibling lake table) must be observationally
+    identical to the inline layout — same band rows, same candidate
+    pairs — while storing the signature exactly once per live doc."""
+    idx = LshIndex.create(spark, str(tmp_path / "ixt"), k=16, bands=4, n_buckets=4, sig_store="table")
+    _apply_two_batches(spark, idx)
+
+    assert "sig" not in idx.table.read().columns, "band rows must not duplicate signatures"
+    n_docs = idx.sigs.read().count()
+    assert n_docs == idx.band_rows().select("id").distinct().count()
+
+    got = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in idx.band_rows().collect()
+    }
+    want = {
+        (r["id"], r["band"]): (r["bh"], tuple(r["sig"]))
+        for r in banded_signature_rows(_final_docs(spark), "text", "doc_id", k=16, bands=4).collect()
+    }
+    assert got == want
+
+    # reload (params + sigs table round-trip) and probe
+    loaded = LshIndex.load(spark, str(tmp_path / "ixt"))
+    assert loaded.sig_store == "table" and loaded.sigs is not None
+    pairs = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in loaded.candidate_pairs().collect()
+    }
+    want_pairs = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_candidates(_final_docs(spark), "text", "doc_id", k=16, bands=4).collect()
+    }
+    assert pairs == want_pairs and pairs
+
+
 def test_streaming_tail_into_index(spark, tmp_path):
     """The index tails a checkpointed document stream through the same
     foreachBatch loop as the document lake — final state must equal a
