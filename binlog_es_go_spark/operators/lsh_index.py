@@ -259,6 +259,34 @@ class LshIndex:
             )
         return result
 
+    def apply_and_probe(
+        self,
+        doc_events: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_est: float | None = None,
+        max_bucket_size: int = 1000,
+        **apply_kwargs,
+    ) -> DataFrame:
+        """The incremental dedup loop in one call: apply the batch, then
+        answer "which near-dup pairs involve THIS batch's documents?" —
+        the batch's upserted ids probe the (now updated) index, so the
+        per-batch dedup decision costs O(batch x bucket) regardless of
+        corpus size. Deleted docs probe nothing (their band rows are
+        tombstoned by the apply)."""
+        self.apply_doc_batch(
+            doc_events, batch_id=batch_id, id_col=id_col, text_col=text_col, **apply_kwargs
+        )
+        changed = (
+            doc_events.filter(F.col("op") != "delete")
+            .select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+        )
+        return self.candidate_pairs(
+            min_est=min_est, max_bucket_size=max_bucket_size, probe_ids=changed
+        )
+
     def start_tail(
         self,
         changelog: DataFrame,

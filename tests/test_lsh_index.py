@@ -247,6 +247,36 @@ def test_streaming_tail_into_index(spark, tmp_path):
     assert got == want
 
 
+def test_apply_and_probe_returns_batch_scoped_pairs(spark, tmp_path):
+    """apply_and_probe = apply + probe of the batch's upserted ids: the
+    result must equal the full pair set restricted to pairs touching
+    those ids, after the batch took effect."""
+    idx = _fresh_index(spark, tmp_path)
+    docs = _docs_df(spark)
+    idx.apply_doc_batch(_ev(docs, F.col("doc_id"), "insert", F.col("text")), batch_id=0)
+
+    # batch 2: revise the exact-dup pair member 41 (still identical to 43
+    # after the same revision is applied to both? no — only 41 changes, so
+    # (41, 43) drops out of exact-band overlap OR stays a candidate; either
+    # way probe must agree with the full recompute), delete doc 10
+    upd = _ev(
+        docs.filter(F.col("doc_id").isin(2, 41)),
+        F.col("doc_id") + 1000, "update", F.concat(F.col("text"), F.lit(" second rev")),
+    )
+    dele = _ev(docs.filter(F.col("doc_id") == 10), F.lit(5000), "delete", F.col("text"))
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.apply_and_probe(upd.unionByName(dele), batch_id=1).collect()
+    }
+
+    full = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.candidate_pairs().collect()
+    }
+    want = {pair: v for pair, v in full.items() if 2 in pair or 41 in pair}
+    assert got == want
+
+
 def test_load_roundtrips_params(spark, tmp_path):
     idx = _fresh_index(spark, tmp_path, k=32, bands=8, hash_fn="md5", seed=7)
     _apply_two_batches(spark, idx)
