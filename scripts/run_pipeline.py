@@ -92,6 +92,9 @@ def main() -> int:
                     help="lsh-index: base hash (md5 = cross-engine-checkable)")
     ap.add_argument("--id-col", default="doc_id", help="lsh-index: document key column")
     ap.add_argument("--text-col", default="text", help="lsh-index: document text column")
+    ap.add_argument("--sig-store", default="inline", choices=["inline", "table"],
+                    help="lsh-index: signature layout (table = sigs once per doc in a "
+                         "sibling lake table; ~4x less index bytes, second commit per batch)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -350,7 +353,7 @@ def main() -> int:
         else:
             idx = LshIndex.create(
                 spark, cfg.target_table_path, k=args.lsh_k, bands=args.lsh_bands,
-                hash_fn=args.lsh_hash, n_buckets=args.n_buckets,
+                hash_fn=args.lsh_hash, n_buckets=args.n_buckets, sig_store=args.sig_store,
             )
         stream = spark.readStream.schema(spark.read.parquet(args.events).schema).parquet(args.events)
         q = idx.start_tail(

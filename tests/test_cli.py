@@ -327,7 +327,7 @@ def test_cli_lsh_index_tail_with_restart(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     base = ["--mode", "lsh-index", "--target", target, "--events", events_dir,
             "--checkpoint", ckpt, "--lsh-k", "16", "--lsh-bands", "4",
-            "--n-buckets", "4", "--key-cols", "id,band"]
+            "--n-buckets", "4", "--key-cols", "id,band", "--sig-store", "table"]
 
     ev(ddf, F.col("doc_id"), "insert", F.col("text")).coalesce(1).write.mode("append").parquet(events_dir)
     r1 = _run(base)
