@@ -340,18 +340,33 @@ class LshIndex:
         probe ONLY the changed ids against the index, so candidate cost
         is O(changed x bucket), not O(corpus^2). Pairs are normalized to
         id_a < id_b either way.
+
+        Probe plan shape (the property that holds at 100 TB): the full
+        index is SCANNED once but never hash-shuffled whole — probe ids
+        broadcast against the scan to find the probe's band rows, their
+        distinct (band, bh) bucket ids broadcast back to filter the scan
+        down to just the touched buckets, and only those rows reach the
+        bucket-size window and the pair join. The earlier form computed
+        the skew-cap window over the ENTIRE index before probing —
+        an O(corpus) shuffle per probe that this plan eliminates; the
+        cap semantics are unchanged because a touched bucket's rows all
+        survive the hot-bucket filter, so its windowed count is still
+        the bucket's true global size.
         """
         rows = self.band_rows()
         if probe_ids is None:
             pairs = lsh_pairs_from_band_rows(rows, self.k, max_bucket_size)
         else:
-            bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
-            capped = rows.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
-            probe = capped.join(
-                F.broadcast(probe_ids.select(F.col(probe_ids.columns[0]).cast("long").alias("id"))),
-                "id",
-                "left_semi",
+            ids = F.broadcast(
+                probe_ids.select(F.col(probe_ids.columns[0]).cast("long").alias("id")).distinct()
             )
+            hot = F.broadcast(
+                rows.join(ids, "id", "left_semi").select("band", "bh").distinct()
+            )
+            touched = rows.join(hot, ["band", "bh"], "left_semi")
+            bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
+            capped = touched.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
+            probe = capped.join(ids, "id", "left_semi")
             a, b = probe.alias("a"), capped.alias("b")
             joined = (
                 a.join(b, on=["band", "bh"], how="inner")
