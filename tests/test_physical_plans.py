@@ -172,3 +172,32 @@ def test_lsh_index_band_events_jvm_only(spark, tmp_path):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, f"Python in the index maintenance path: {marker}"
     assert "Exchange" not in plan, "band fan-out must be map-side only"
+
+
+def test_lsh_index_probe_scan_not_shuffled_whole(spark, tmp_path):
+    """The probe path's scale property: probe ids AND the touched
+    (band, bh) bucket set both broadcast against the index scan — the
+    skew-cap window and pair join see only touched-bucket rows, never a
+    hash-shuffle of the whole index (two BroadcastExchanges pin the
+    shape; the single-broadcast form windowed the full scan)."""
+    from pyspark.sql import types as T
+
+    from binlog_es_go_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex.create(spark, str(tmp_path / "ixp"), k=16, bands=4)
+    after_t = T.StructType([T.StructField("text", T.StringType())])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50).select(
+        F.col("doc_id").cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit("insert").alias("op"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.struct(F.col("text").alias("text")).cast(after_t).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx.apply_doc_batch(docs, batch_id=0)
+    probe = spark.createDataFrame([(1,)], ["id"])
+    plan = plan_of(idx.candidate_pairs(probe_ids=probe))
+    assert plan.count("BroadcastExchange") >= 2, plan[:1200]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python in the probe path: {marker}"
