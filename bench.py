@@ -115,8 +115,7 @@ HEADLINE = [
     "salted_aggregate",
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "ivf_topk_ann",
+    "ann_topk",
     "embedding_neardup",
     "sessionize_events",
     "cdc_replay_events",

@@ -63,6 +63,7 @@ from binlog_es_go_spark.operators.dedup import (
 
 _META_COLS = ("offset", "partition_id", "seq_in_tx", "op", "ts")
 _SIGS_SUBDIR = "sigs"
+_VECS_SUBDIR = "vecs"
 
 
 class LshIndex:
@@ -386,3 +387,275 @@ class LshIndex:
         if min_est is not None:
             pairs = pairs.filter(F.col("est_jaccard") >= min_est)
         return pairs
+
+
+class EmbeddingNearDupIndex:
+    """The embedding counterpart of :class:`LshIndex`: an incrementally
+    maintained random-hyperplane LSH index for cosine near-duplicates.
+
+    ``n_tables`` independent plane sets (classic multi-table LSH — each
+    table is one recall draw; a near-dup pair is a candidate if it
+    collides in ANY table) of ``n_planes`` sign bits each. Rows are keyed
+    ``(id, tbl)`` with the bucket bit-string ``bkt``; the vector itself is
+    stored inline (default) or once per id in a sibling lake table
+    (``vec_store="table"`` — n_tables x fewer vector bytes, the 100 TB
+    layout). Planes are REGENERATED from (seed, dim) at load — never
+    stored — so writers and readers cannot disagree.
+
+    Maintenance and probe semantics mirror LshIndex exactly: upserts
+    bucket only the batch's vectors, deletes tombstone the id's rows,
+    the (offset, seq) guard absorbs replay, and the probe path
+    broadcasts (ids, then touched (tbl, bkt)) against the scan so the
+    index is never hash-shuffled whole. With ``n_tables=1`` the
+    candidate set is bit-identical to the batch operator
+    ``dedup.embedding_near_dups`` (same seeded planes, same row-major
+    draw order).
+    """
+
+    def __init__(self, table: LakeTable, vecs: LakeTable | None = None):
+        self.table = table
+        p = table.snapshot().properties
+        self.n_planes = int(p["emb.n_planes"])
+        self.n_tables = int(p["emb.n_tables"])
+        self.seed = int(p["emb.seed"])
+        self.dim = int(p["emb.dim"])
+        self.vec_store = p.get("emb.vec_store", "inline")
+        self.vecs = vecs
+        if self.vec_store == "table" and vecs is None:
+            raise ValueError("vec_store='table' index requires its vecs table (use load)")
+        import numpy as np
+
+        rng = np.random.default_rng(self.seed)
+        # row-major draw: table 0's planes equal dedup.embedding_near_dups'
+        # planes for the same (seed, dim, n_planes) — the equivalence tests
+        # and the DuckDB oracle both lean on this
+        self._planes = rng.standard_normal((self.n_tables * self.n_planes, self.dim)).reshape(
+            self.n_tables, self.n_planes, self.dim
+        )
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        *,
+        n_planes: int = 16,
+        n_tables: int = 4,
+        seed: int = 42,
+        dim: int,
+        n_buckets: int = 16,
+        vec_store: str = "inline",
+    ) -> "EmbeddingNearDupIndex":
+        assert vec_store in ("inline", "table")
+        fields = [
+            T.StructField("id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.StringType()),
+        ]
+        if vec_store == "inline":
+            fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+        table = LakeTable.create(
+            spark,
+            root,
+            T.StructType(fields),
+            key_cols=["id", "tbl"],
+            n_buckets=n_buckets,
+            properties={
+                "emb.n_planes": str(n_planes),
+                "emb.n_tables": str(n_tables),
+                "emb.seed": str(seed),
+                "emb.dim": str(dim),
+                "emb.vec_store": vec_store,
+            },
+        )
+        vecs = None
+        if vec_store == "table":
+            vecs = LakeTable.create(
+                spark,
+                f"{root}/{_VECS_SUBDIR}",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("v", T.ArrayType(T.DoubleType())),
+                    ]
+                ),
+                key_cols=["id"],
+                n_buckets=n_buckets,
+            )
+        return cls(table, vecs)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "EmbeddingNearDupIndex":
+        table = LakeTable.load(spark, root)
+        vecs = None
+        if table.snapshot().properties.get("emb.vec_store", "inline") == "table":
+            vecs = LakeTable.load(spark, f"{root}/{_VECS_SUBDIR}")
+        return cls(table, vecs)
+
+    # ------------------------------------------------------------ maintain
+    def _bucket_bits(self, vec_col, tbl: int):
+        bits = []
+        for p in self._planes[tbl]:
+            dot = F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    def bucket_events(
+        self, vec_events: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Vector changelog -> (id, tbl) bucket-row changelog (same event
+        contract as LshIndex.band_events; each vector event fans out to
+        n_tables rows sharing the event's (offset, seq))."""
+        inline = self.vec_store == "inline"
+        after_fields = [T.StructField("bkt", T.StringType())]
+        if inline:
+            after_fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+        after_t = T.StructType(after_fields)
+        meta = [F.col(c) for c in _META_COLS]
+        vid = F.col(id_col).cast("long").alias("id")
+        v = F.col(f"after.{vec_col}").cast("array<double>")
+
+        def after_struct(t: int):
+            bkt = self._bucket_bits(F.col("_v"), t).alias("bkt")
+            if inline:
+                return F.struct(bkt, F.col("_v").alias("v")).cast(after_t)
+            return F.struct(bkt).cast(after_t)
+
+        upserts = (
+            vec_events.filter(F.col("op") != "delete")
+            .withColumn("_v", v)
+            .select(
+                *meta,
+                vid,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(t).alias("tbl"), after_struct(t).alias("after"))
+                            for t in range(self.n_tables)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(*_META_COLS, "id", F.col("bb.tbl").alias("tbl"), F.col("bb.after").alias("after"))
+        )
+        deletes = (
+            vec_events.filter(F.col("op") == "delete")
+            .select(
+                *meta,
+                vid,
+                F.explode(F.array(*[F.lit(t) for t in range(self.n_tables)])).alias("tbl"),
+            )
+            .withColumn("after", F.lit(None).cast(after_t))
+            .select(*_META_COLS, "id", "tbl", "after")
+        )
+        return upserts.unionByName(deletes)
+
+    def vec_events_rows(
+        self, vec_events: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        after_t = T.StructType([T.StructField("v", T.ArrayType(T.DoubleType()))])
+        meta = [F.col(c) for c in _META_COLS]
+        vid = F.col(id_col).cast("long").alias("id")
+        return vec_events.select(
+            *meta,
+            vid,
+            F.when(
+                F.col("op") != "delete",
+                F.struct(F.col(f"after.{vec_col}").cast("array<double>").alias("v")),
+            ).cast(after_t).alias("after"),
+        )
+
+    def apply_vec_batch(
+        self,
+        vec_events: DataFrame,
+        batch_id: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        **apply_kwargs,
+    ) -> MergeResult:
+        result = apply_batch(
+            self.table,
+            self.bucket_events(vec_events, id_col=id_col, vec_col=vec_col),
+            batch_id=batch_id,
+            **apply_kwargs,
+        )
+        if self.vec_store == "table":
+            apply_batch(
+                self.vecs,
+                self.vec_events_rows(vec_events, id_col=id_col, vec_col=vec_col),
+                batch_id=batch_id,
+                **apply_kwargs,
+            )
+        return result
+
+    def start_tail(
+        self,
+        changelog: DataFrame,
+        checkpoint_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        **tail_kwargs,
+    ):
+        from binlog_es_go_spark.cdc.stream import start_tail
+
+        return start_tail(
+            self.table,
+            changelog,
+            checkpoint_dir,
+            apply_fn=lambda batch, bid: self.apply_vec_batch(
+                batch, batch_id=bid, id_col=id_col, vec_col=vec_col
+            ),
+            **tail_kwargs,
+        )
+
+    # ------------------------------------------------------------ query
+    def bucket_rows(self) -> DataFrame:
+        rows = self.table.read()
+        if self.vec_store == "table":
+            rows = rows.join(self.vecs.read(), "id")
+        return rows.select("id", "v", "tbl", "bkt")
+
+    def candidate_pairs(
+        self,
+        threshold: float = 0.95,
+        max_bucket_size: int = 1000,
+        probe_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Cosine near-dup pairs from the index state: same-(tbl, bkt)
+        collisions (any table), exact cosine verify, id_a < id_b, deduped
+        across tables. Probe plan mirrors LshIndex.candidate_pairs — the
+        index is scanned, never hash-shuffled whole."""
+        rows = self.bucket_rows()
+        if probe_ids is not None:
+            ids = F.broadcast(
+                probe_ids.select(F.col(probe_ids.columns[0]).cast("long").alias("id")).distinct()
+            )
+            hot = F.broadcast(rows.join(ids, "id", "left_semi").select("tbl", "bkt").distinct())
+            rows = rows.join(hot, ["tbl", "bkt"], "left_semi")
+        bucket_n = F.count("*").over(Window.partitionBy("tbl", "bkt"))
+        capped = rows.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
+        left = capped.join(ids, "id", "left_semi") if probe_ids is not None else capped
+        a, b = left.alias("a"), capped.alias("b")
+        cond = F.col("a.id") < F.col("b.id") if probe_ids is None else F.col("a.id") != F.col("b.id")
+        pairs = (
+            a.join(b, on=["tbl", "bkt"], how="inner")
+            .filter(cond)
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                F.col("a.v").alias("v_a"),
+                F.col("b.v").alias("v_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        cos = dot / (norm("v_a") * norm("v_b"))
+        return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)

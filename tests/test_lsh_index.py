@@ -283,3 +283,123 @@ def test_load_roundtrips_params(spark, tmp_path):
     loaded = LshIndex.load(spark, str(tmp_path / "ix"))
     assert (loaded.k, loaded.bands, loaded.shingle_n, loaded.seed, loaded.hash_fn) == (32, 8, 3, 7, "md5")
     assert loaded.band_rows().count() == idx.band_rows().count()
+
+
+# ---------------------------------------------------------------- embeddings
+VEC_AFTER_T = T.StructType([T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+
+
+def _vecs_df(spark):
+    import math
+
+    rows = []
+    for i in range(24):
+        base = [math.sin(0.7 * i + j * 0.3) for j in range(8)]
+        rows.append((i, base))
+    # planted near-dups: 101 ~ vec 1, 103 ~ vec 3 (ids chosen to survive
+    # both the %7 update and the %10 delete, as do their partners)
+    rows.append((101, [x * 1.02 + 0.01 for x in rows[1][1]]))
+    rows.append((103, [x * 0.98 - 0.01 for x in rows[3][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _vev(df, off_col, op):
+    return df.select(
+        off_col.cast("long").alias("offset"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(0).cast("int").alias("seq_in_tx"),
+        F.lit(op).alias("op"),
+        F.col("vec_id"),
+        (F.struct(F.col("embedding")) if op != "delete" else F.lit(None)).cast(VEC_AFTER_T).alias("after"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _apply_vec_batches(spark, idx):
+    vecs = _vecs_df(spark)
+    idx.apply_vec_batch(_vev(vecs, F.col("vec_id"), "insert"), batch_id=0)
+    # update: reverse the vectors of ids %7==0; delete ids %10==0
+    upd = _vev(
+        vecs.filter(F.col("vec_id") % 7 == 0).select("vec_id", F.reverse("embedding").alias("embedding")),
+        F.col("vec_id") + 1000, "update",
+    )
+    dele = _vev(vecs.filter(F.col("vec_id") % 10 == 0), F.col("vec_id") + 2000, "delete")
+    idx.apply_vec_batch(upd.unionByName(dele), batch_id=1)
+
+
+def _final_vecs(spark):
+    vecs = _vecs_df(spark)
+    return vecs.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.reverse("embedding")).otherwise(F.col("embedding")).alias("embedding"),
+    )
+
+
+def test_embedding_index_single_table_matches_batch_operator(spark, tmp_path):
+    from binlog_es_go_spark.operators.dedup import embedding_near_dups
+    from binlog_es_go_spark.operators.lsh_index import EmbeddingNearDupIndex
+
+    idx = EmbeddingNearDupIndex.create(
+        spark, str(tmp_path / "eix"), n_planes=4, n_tables=1, seed=7, dim=8, n_buckets=4
+    )
+    _apply_vec_batches(spark, idx)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in idx.candidate_pairs(threshold=0.3).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_dups(
+            _final_vecs(spark), "embedding", "vec_id", threshold=0.3, n_planes=4, seed=7, dim=8
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_embedding_index_multi_table_superset_and_verified(spark, tmp_path):
+    """n_tables=2 candidates are a superset of table 0's (any-table
+    collision), every returned pair passes the exact cosine threshold,
+    and planted near-dups are found."""
+    from binlog_es_go_spark.operators.lsh_index import EmbeddingNearDupIndex
+
+    one = EmbeddingNearDupIndex.create(
+        spark, str(tmp_path / "e1"), n_planes=4, n_tables=1, seed=7, dim=8, n_buckets=4
+    )
+    two = EmbeddingNearDupIndex.create(
+        spark, str(tmp_path / "e2"), n_planes=4, n_tables=2, seed=7, dim=8, n_buckets=4
+    )
+    _apply_vec_batches(spark, one)
+    _apply_vec_batches(spark, two)
+
+    p1 = {(r["id_a"], r["id_b"]) for r in one.candidate_pairs(threshold=0.3).collect()}
+    rows2 = two.candidate_pairs(threshold=0.3).collect()
+    p2 = {(r["id_a"], r["id_b"]) for r in rows2}
+    assert p1 <= p2
+    assert all(r["cosine"] >= 0.3 for r in rows2)
+    assert (1, 101) in p2 and (3, 103) in p2, "planted near-dups must be found"
+
+
+def test_embedding_index_table_layout_and_probe(spark, tmp_path):
+    from binlog_es_go_spark.operators.lsh_index import EmbeddingNearDupIndex
+
+    idx = EmbeddingNearDupIndex.create(
+        spark, str(tmp_path / "ev"), n_planes=4, n_tables=2, seed=7, dim=8, n_buckets=4,
+        vec_store="table",
+    )
+    _apply_vec_batches(spark, idx)
+    assert "v" not in idx.table.read().columns
+
+    loaded = EmbeddingNearDupIndex.load(spark, str(tmp_path / "ev"))
+    assert loaded.vec_store == "table" and loaded.vecs is not None
+    full = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in loaded.candidate_pairs(threshold=0.3).collect()
+    }
+    probe = spark.createDataFrame([(101,)], ["id"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in loaded.candidate_pairs(threshold=0.3, probe_ids=probe).collect()
+    }
+    want = {pair: v for pair, v in full.items() if 101 in pair}
+    assert got == want and got
