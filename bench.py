@@ -130,6 +130,12 @@ HEADLINE = [
     # recompute + deleteOnMissing) gets a tracked wall-time so its
     # per-batch serial cost shows up in BENCH trends (VERDICT r3 #5)
     "config_recompute_pipeline",
+    # round 5: the incrementally-maintained near-dup indexes (text and
+    # embedding) — each replays a 2-batch changelog through the guarded
+    # MERGE and probes the final index, so the tracked number is the
+    # full maintain-then-query cycle, commit floors included
+    "incremental_lsh_index",
+    "incremental_embedding_index",
 ]
 
 # AQE off for the replay sessions: its per-stage materialization barriers
