@@ -35,6 +35,12 @@ from binlog_es_go_spark.lake.table import LakeTable
 OFFSETS_PROP = "stream_offsets"  # properties key: {partition_id: max offset applied}
 LINEAGE_PROP = "lineage"         # properties key: list of per-batch metric rows
 
+# Observation probe range for per-partition offsets when the stream
+# partition count is undeclared (fresh-table fast path): covers the
+# reserved epoch (-2) / recompute (-1) partitions plus 64 real ones.
+PID_PROBE_LO = -2
+PID_PROBE_HI = 64
+
 # Auto write-mode floor: a batch whose copy-on-write rewrite would move
 # less than this many base-file bytes just rewrites (cheap, keeps the
 # table delta-free); above it, AND when the rewrite is >=32x the batch's
@@ -156,6 +162,8 @@ def apply_batch(
     flat = flatten_changelog(changelog)
 
     obs = None
+    obs_pids: range | None = None
+    obs_strict = False
     offs: dict[str, int] = {}
     kinfo = None
     if affected_buckets is not None and precomputed_offsets is not None:
@@ -168,22 +176,29 @@ def apply_batch(
         offs, buckets, kinfo = _batch_metadata(flat, snap.key_cols, snap.n_buckets)
     else:
         # bulk replay/bootstrap: batches touch ~every bucket, so bucket
-        # discovery is pure serial overhead — rewrite all buckets
+        # discovery is pure serial overhead — rewrite all buckets and
+        # collect per-partition offsets as Observation metrics DURING the
+        # merge write itself (zero extra jobs). When the stream partition
+        # count is undeclared, a fixed probe range of partition ids is
+        # observed instead ([-2, 64): the reserved epoch/recompute
+        # partitions plus 64 real ones); a feed outside the probe falls
+        # back to one explicit offsets job (rare, still correct) — this
+        # replaces the round-5 unconditional partition_offsets job.
         buckets = list(range(snap.n_buckets))
-        if stream_partitions is not None:
-            from pyspark.sql import Observation
+        from pyspark.sql import Observation
 
-            obs = Observation()
-            flat = flat.observe(
-                obs,
-                *[
-                    F.max(F.when(F.col("partition_id") == p, F.col("offset"))).alias(f"p{p}")
-                    for p in range(stream_partitions)
-                ],
-                F.max("partition_id").alias("max_pid"),
-            )
-        else:
-            offs = partition_offsets(changelog)
+        obs_strict = stream_partitions is not None
+        obs_pids = range(stream_partitions) if obs_strict else range(PID_PROBE_LO, PID_PROBE_HI)
+        obs = Observation()
+        flat = flat.observe(
+            obs,
+            *[
+                F.max(F.when(F.col("partition_id") == p, F.col("offset"))).alias(f"p{p}")
+                for p in obs_pids
+            ],
+            F.max("partition_id").alias("max_pid"),
+            F.min("partition_id").alias("min_pid"),
+        )
 
     # partition_id is stream metadata, not document payload
     flat = flat.drop("partition_id")
@@ -203,15 +218,23 @@ def apply_batch(
         if obs is not None:
             got = obs.get
             max_pid = got.get("max_pid")
-            if max_pid is not None and max_pid >= stream_partitions:
+            min_pid = got.get("min_pid")
+            if obs_strict and max_pid is not None and max_pid >= stream_partitions:
                 raise ValueError(
                     f"event partition_id {max_pid} >= declared stream_partitions={stream_partitions}"
                 )
-            batch_offs = {
-                str(p): int(got[f"p{p}"])
-                for p in range(stream_partitions)
-                if got.get(f"p{p}") is not None
-            }
+            if not obs_strict and max_pid is not None and (
+                max_pid >= PID_PROBE_HI or min_pid < PID_PROBE_LO
+            ):
+                # partition ids outside the probe range: pay the explicit
+                # offsets job (rare; correctness over the saved job)
+                batch_offs = partition_offsets(changelog)
+            else:
+                batch_offs = {
+                    str(p): int(got[f"p{p}"])
+                    for p in obs_pids
+                    if got.get(f"p{p}") is not None
+                }
         prev = dict(base_props.get(OFFSETS_PROP, {}))
         for p, mx in batch_offs.items():
             prev[p] = max(int(prev.get(p, -1)), int(mx))

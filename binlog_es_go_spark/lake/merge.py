@@ -56,7 +56,9 @@ tuning knob, same math).
 from __future__ import annotations
 
 import bisect
+import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -90,6 +92,35 @@ KEY_PRUNE_CAP = 1024
 # pruned batch (see _merge_once): enough to keep tasks meaningful, small
 # enough that a single rewritten file never serializes a whole commit.
 WRITE_TARGET_BYTES = 64 << 20
+
+# Merge commits are planned with AQE disabled by default (round-6 floor
+# attack, measured ~0.1-0.2 s/commit at sf0.1): the merge already sizes
+# both of its exchanges itself (shuffle_partitions for the guard window,
+# the adaptive (bucket, group) width for the write), AQE's skew-join
+# splitting never applies (no joins in the merge plan), so all AQE buys
+# here is per-stage materialization barriers + driver re-planning — pure
+# serial floor per micro-batch at ANY table size. Parameterized so a
+# deployment whose merge batches are huge and mis-partitioned can turn
+# coalescing back on ("on" keeps the session setting untouched).
+MERGE_AQE = os.environ.get("BINLOG_SPARK_MERGE_AQE", "off")
+
+
+@contextmanager
+def scoped_merge_conf(spark):
+    """Plan the enclosed merge actions with AQE off (see MERGE_AQE)."""
+    if MERGE_AQE != "off":
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    if prev == "false":
+        yield
+        return
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @dataclass
@@ -181,11 +212,12 @@ def merge_into(
     """
     for attempt in range(max_commit_retries):
         try:
-            return _merge_once(
-                table, source, offset_col, op_col, seq_col, ts_col,
-                properties_update, salt_partitions, already_deduped, affected_buckets,
-                properties_fn, bucket_khashes,
-            )
+            with scoped_merge_conf(table.spark):
+                return _merge_once(
+                    table, source, offset_col, op_col, seq_col, ts_col,
+                    properties_update, salt_partitions, already_deduped, affected_buckets,
+                    properties_fn, bucket_khashes,
+                )
         except CommitConflict:
             # Optimistic-concurrency retry: re-read the new snapshot and
             # recompute — the analog of Iceberg commit.retry and of the
@@ -322,53 +354,20 @@ def _merge_once(
 
     combined = align_union(src_norm, tgt_norm, new_schema)
 
-    # ONE window resolves everything: max (offset, seq) per key wins —
-    # ``last_seq`` is PERSISTED so a transaction split across micro-batches
-    # (same offset, later seq arriving in a later batch) still applies; the
-    # target wins only a FULL (offset, seq) tie, which is exactly the
-    # strict "(offset, seq) >" guard of the sequential oracle
-    # (cdc/oracle.py; SURVEY §7 hard part 2). Spark 4 plans the
-    # row_number()==1 filter as WindowGroupLimit: a map-side partial top-1
-    # runs BEFORE the shuffle, so at most one candidate row per key per
-    # input partition crosses the wire. (A max_by(struct(row), guard)
-    # aggregation would express the same thing in one operator, but a
-    # struct-valued agg buffer falls back to sort-based aggregation —
-    # measured 3x slower at 5M events; the window + group-limit form is
-    # the fast plan.)
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col("last_offset").desc_nulls_last(),
-        F.coalesce(F.col("last_seq"), F.lit(0)).desc(),
-        F.col("_is_target").desc(),
-    )
-    winners = (
-        combined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_target")
-    )
-
-    # Write layout: repartition winners by (bucket, khash RANGE group).
-    # The group is floor(crc32(key) / ceil(2^32 / k)) with k = n_out /
-    # n_buckets: when n_out == n_buckets every bucket is ONE write group
-    # (one file per bucket per commit), and when n_out = k*n_buckets each
-    # bucket splits into k groups — same task/file bounds as the round-3
-    # modular salt (crc32 is uniform, so range groups load-balance exactly
-    # as well), but each group covers a CONTIGUOUS key-hash range, so
-    # combined with the khash-local sort in write_buckets every data file
-    # gets a tight, DISJOINT min/max in the manifest — which is what makes
-    # the next merge's file-granular pruning selective. Round-3
-    # measurements at 5M events, local[8], pinned the alternatives:
-    # dropping this exchange and writing the key-hash-distributed window
-    # output directly explodes into n_tasks*n_buckets files (4096 vs 64)
-    # and runs 3x slower; replacing window+WindowGroupLimit with
-    # max_by(struct(row)) loses the map-side partial top-1 to a sort-agg
-    # fallback, also 3x slower. Two exchanges — the second carrying only
-    # deduped winners — plus a bucket-aligned write is the measured-fast
-    # shape.
+    # Write layout: winners land partitioned by (bucket, khash RANGE
+    # group). The group is floor(crc32(key) / ceil(2^32 / k)) with k =
+    # n_out / n_buckets: when n_out == n_buckets every bucket is ONE
+    # write group (one file per bucket per commit), and when n_out =
+    # k*n_buckets each bucket splits into k groups — same task/file
+    # bounds as the round-3 modular salt (crc32 is uniform, so range
+    # groups load-balance exactly as well), but each group covers a
+    # CONTIGUOUS key-hash range, so combined with the khash-local sort in
+    # write_buckets every data file gets a tight, DISJOINT min/max in the
+    # manifest — which is what makes the next merge's file-granular
+    # pruning selective.
     n_out = salt_partitions or table.spark.sparkContext.defaultParallelism
     k_groups = max(1, n_out // max(1, snap.n_buckets))
     span = -(-(1 << 32) // k_groups)  # ceil(2^32 / k)
-    winners = winners.withColumn(KHASH_COL, khash_expr(key_cols))
-    grp = F.floor(F.col(KHASH_COL) / F.lit(span)).cast("int")
     # Exchange width adapts to the DATA, not the layout dial: a (bucket,
     # group) combo always hashes to exactly one task, so file layout and
     # file COUNT are fixed by k_groups (directory-encoded in
@@ -380,15 +379,65 @@ def _merge_once(
     # file_sizes; files with unknown size count one full target each).
     # Bulk paths (no/overflowed key info) keep the full width.
     n_tasks = max(1, n_out)
-    if kinfo and affected and all(
+    small = bool(kinfo) and bool(affected) and all(
         kinfo.get(b) is not None and kinfo[b].khashes is not None for b in affected
-    ):
+    )
+    if small:
         sizes = snap.file_sizes or {}
         overlap_bytes = sum(sizes.get(rel, WRITE_TARGET_BYTES) for rel in overlap_files)
         n_keys = sum(len(kinfo[b].khashes) for b in affected)
         est_bytes = overlap_bytes + n_keys * 1024  # generous per-row estimate
         n_tasks = min(n_out, max(k_groups, -(-est_bytes // WRITE_TARGET_BYTES)))
-    winners = winners.repartition(n_tasks, F.col(BUCKET_COL), grp)
+
+    # ONE window resolves everything: max (offset, seq) per key wins —
+    # ``last_seq`` is PERSISTED so a transaction split across micro-batches
+    # (same offset, later seq arriving in a later batch) still applies; the
+    # target wins only a FULL (offset, seq) tie, which is exactly the
+    # strict "(offset, seq) >" guard of the sequential oracle
+    # (cdc/oracle.py; SURVEY §7 hard part 2).
+    #
+    # Exchange count (round-6): for a PROVABLY SMALL batch the union is
+    # hash-partitioned ONCE by (bucket, write group) — both pure
+    # functions of the key, so adding them to the window's partitionBy
+    # changes nothing per key, while the explicit repartition satisfies
+    # the window's clustering requirement (hash on a subset of the
+    # partitionBy columns) AND is already the write layout: the guard
+    # window inserts no second exchange and winners flow straight into
+    # the bucket-aligned write — one narrow exchange total per commit
+    # (plan-asserted in tests/test_physical_plans.py). Bulk batches keep
+    # the round-3 two-exchange shape: window partitioned by key alone —
+    # Spark 4 plans the row_number()==1 filter as WindowGroupLimit, a
+    # map-side partial top-1 BEFORE the shuffle, so at most one candidate
+    # row per key per input partition crosses the wire; winners-only
+    # (much smaller) second exchange aligns the write. (A
+    # max_by(struct(row)) aggregation was measured 3x slower — sort-agg
+    # fallback; writing the key-hash-distributed window output directly
+    # explodes into n_tasks*n_buckets files, also 3x slower — BENCH.md
+    # round-3 table.)
+    wg = F.floor(F.col(KHASH_COL) / F.lit(span)).cast("int")
+    order = [
+        F.col("last_offset").desc_nulls_last(),
+        F.coalesce(F.col("last_seq"), F.lit(0)).desc(),
+        F.col("_is_target").desc(),
+    ]
+    if small:
+        combined = combined.withColumn(KHASH_COL, khash_expr(key_cols)).withColumn("_wg", wg)
+        combined = combined.repartition(n_tasks, F.col(BUCKET_COL), F.col("_wg"))
+        w = Window.partitionBy(BUCKET_COL, "_wg", *key_cols).orderBy(*order)
+        winners = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_target", "_wg")
+        )
+    else:
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        winners = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_target")
+        )
+        winners = winners.withColumn(KHASH_COL, khash_expr(key_cols))
+        winners = winners.repartition(n_tasks, F.col(BUCKET_COL), wg)
 
     new_snap = table.write_buckets(
         winners,
@@ -521,13 +570,14 @@ def merge_into_delta(
     # is settled at read/fold time like the rest of the guard.
     for attempt in range(max_commit_retries):
         try:
-            new_snap = table.append_delta(
-                winners,
-                properties_update=properties_update,
-                expected_version=None,
-                properties_fn=properties_fn,
-                new_schema=new_schema,
-            )
+            with scoped_merge_conf(table.spark):
+                new_snap = table.append_delta(
+                    winners,
+                    properties_update=properties_update,
+                    expected_version=None,
+                    properties_fn=properties_fn,
+                    new_schema=new_schema,
+                )
             return MergeResult(
                 version=new_snap.version,
                 affected_buckets=[],

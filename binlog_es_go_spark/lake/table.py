@@ -770,10 +770,26 @@ def _harvest_file_stats(root: str, rel_paths: list[str], schema: T.StructType) -
 
     prim = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
     out: dict[str, dict[str, list]] = {}
-    for rel in rel_paths:
+
+    # Footer reads are independent driver-local IO (~ms each) — a big
+    # commit (compaction/fold: hundreds of files) pays them serially
+    # otherwise. Threads, not processes: the GIL releases around the
+    # pyarrow IO calls.
+    def _meta(rel: str):
         try:
-            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+            return rel, pq.ParquetFile(os.path.join(root, rel)).metadata
         except Exception:  # noqa: BLE001 — stats are best-effort
+            return rel, None
+
+    if len(rel_paths) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            metas = list(pool.map(_meta, rel_paths))
+    else:
+        metas = [_meta(rel) for rel in rel_paths]
+    for rel, md in metas:
+        if md is None:
             continue
         colstats: dict[str, list] = {}
         # A column whose stats are missing in ANY row group must not get

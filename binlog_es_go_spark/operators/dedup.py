@@ -507,44 +507,63 @@ def connected_components(
     distances collapse geometrically, so rounds are O(log diameter):
     measured 18 rounds for a 2^17-edge chain and 11 for a 10^6-edge
     random graph (tests pin both bounds). Converged when a
-    round changes nothing (one count per round, bounded by ``max_iter``);
-    lineage is truncated each round (localCheckpoint) so the plan does
-    not grow with iterations. Per round: 3 key-shuffles of O(V+E) rows
-    (edge⋈label, label⋈label shortcut, change check) — no collect, no
-    driver-side graph.
+    round changes nothing (bounded by ``max_iter``); lineage is truncated
+    each round (localCheckpoint) so the plan does not grow with
+    iterations.
+
+    Round shape (round-6 rework — per-round shuffle volume halved vs the
+    4-join round-3 loop): the EDGE table is hash-partitioned by ``dst``
+    once, outside the loop (localCheckpoint preserves the partitioning),
+    so the O(E) side of the per-round join never re-shuffles — only the
+    O(V) label side moves. Neighbor-min and own-label fold in one
+    union + partial-aggregated groupBy (not a join + agg + left join),
+    the pointer-jump join's probe side arrives already partitioned by id
+    from that groupBy (no exchange), and convergence is checked by
+    carrying each node's previous label through the round and counting
+    label != old on the checkpointed result — a scan, where the round-3
+    loop paid a fourth (join) shuffle. No collect, no driver-side graph.
 
     ``stats``: optional dict; ``stats["rounds"]`` records the rounds run
     (scale instrumentation for bench.py's long-chain corpus).
     """
+    spark = pairs.sparkSession
+    n_part = spark.conf.get("spark.sql.shuffle.partitions")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition(int(n_part), "dst")
         .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    id_t = dict(labels.dtypes)["id"]
     rounds = 0
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        # neighbor contributions + each node's own (old) label, folded by
+        # one partially-aggregated groupBy; _old survives as max() because
+        # exactly one union branch carries it per id
+        contrib = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"),
+            F.col("label"),
+            F.lit(None).cast(id_t).alias("_old"),
         )
-        prop = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
-            labels["id"],
-            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+        merged = (
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
         # pointer jumping: label <- label(label). Labels are always ids of
         # component members (label(x) <= x, monotone), so the fixpoint
         # argument is untouched — the shortcut only accelerates descent.
         new_labels = (
-            prop.alias("a")
+            merged.alias("a")
             .join(
-                prop.select(
+                merged.select(
                     F.col("id").alias("_pid"), F.col("label").alias("_plabel")
                 ).alias("b"),
                 F.col("a.label") == F.col("b._pid"),
@@ -555,16 +574,12 @@ def connected_components(
                 F.least(
                     F.col("a.label"), F.coalesce(F.col("_plabel"), F.col("a.label"))
                 ).alias("label"),
+                F.col("a._old").alias("_old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         rounds += 1
         if changed == 0:
             break

@@ -53,6 +53,14 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # fit (optimization guide §3.1/§9): equal-keyed iterative joins
+        # (connected components, LSH pair joins) pay a per-round sort
+        # under sort-merge for nothing — measured 10-40% per-round win on
+        # the cc bench, no change at all where broadcast applies. Spark
+        # still falls back to sort-merge when neither side's per-partition
+        # build fits, so the spill story is unchanged at scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -64,6 +72,15 @@ def build_session(
         # virtio disk is slow/noisy; on a real cluster this is node-local
         # NVMe and the setting is harmless
         .config("spark.local.dir", _scratch_dir())
+        # Output-committer v2 + no _SUCCESS markers: task outputs move to
+        # the destination at TASK commit (no serial job-commit rename
+        # pass). Safe for this engine at any scale: the lake's real commit
+        # point is the manifest link (lake/table.py), so a partially
+        # committed data directory is simply never referenced (and is
+        # reclaimed by expire_snapshots) — the v1 committer's atomicity
+        # buys nothing here and costs driver time per commit.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
