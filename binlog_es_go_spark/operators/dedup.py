@@ -95,26 +95,39 @@ def minhash_signature(
     h_i(shingle) = (a_i * (xxhash64(shingle) mod p) + b_i) mod p, p=2^31-1;
     signature element i is the min over the document's distinct shingles.
 
-    The k permutations ride ONE nested higher-order transform over a
-    literal array of (a_i, b_i) structs instead of k separate
-    array_min(transform(...)) expressions: the expression tree (and the
-    generated code Catalyst compiles per query) is O(1) in k, not O(k) —
-    measured bit-identical and ~6x less analyzer/codegen overhead at
-    k=4 on a single row, which is what dominated the sf0.1 headline
-    fixture's wall time.
+    The k permutations ride ONE fold (``aggregate``) over the base-hash
+    array with a k-wide minima accumulator: the expression tree (and the
+    work Catalyst does per query) is O(1) in k, AND each shingle's base
+    hash is evaluated exactly once — the base array is the fold's INPUT,
+    so its elements reach the lambda as bound values. The round-5 nested
+    form (transform over perms with the base transform inside the lambda)
+    re-evaluated the base-hash subtree once per permutation in Spark's
+    interpreted higher-order-function path (no codegen, no subexpression
+    elimination there): k x the per-shingle hash cost. Values are
+    bit-identical (min over shingles of (a_i*h+b_i) mod p either way).
     """
     shingles = word_shingles(text_col, shingle_n)
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return _fold_signature(base, k, seed)
+
+
+def _fold_signature(base: Column, k: int, seed: int) -> Column:
+    """min-fold of the k permutations over a base-hash array (see
+    minhash_signature): acc_i <- min(acc_i, (h*a_i + b_i) mod p), zero
+    acc = p (greater than any residue, and word_shingles never yields an
+    empty array, so the zero never survives)."""
     perms = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _perm_params(k, seed)
         ]
     )
-    return F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(base, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)))
+    zero = F.array_repeat(F.lit(_MERSENNE).cast("long"), k)
+    return F.aggregate(
+        base,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, perms, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)))
         ),
     )
 
@@ -133,27 +146,18 @@ def minhash_signature_md5(
     bit-for-bit. The earlier form computed a FRESH md5 per (permutation,
     shingle) — k times the hash work per document; this keeps the oracle
     property at 1/k the per-doc hash cost, which is what dominates when
-    the md5 mode runs over a real corpus (the sf0.1 headline fixture is
-    300 docs and overhead-bound, so its wall time doesn't move).
+    the md5 mode runs over a real corpus. Round 6: the fold form of
+    ``_fold_signature`` guarantees the once-per-shingle property AT
+    EVALUATION TIME too — the round-5 nested transform re-evaluated the
+    md5+conv base subtree once per permutation in Spark's interpreted
+    higher-order-function path (see minhash_signature docstring).
     """
     shingles = word_shingles(text_col, shingle_n)
     base = F.transform(
         shingles,
         lambda s: F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_MERSENNE)),
     )
-    perms = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _perm_params(k, seed)
-        ]
-    )
-    # same O(1)-in-k nested-transform shape as minhash_signature
-    return F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(base, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE)))
-        ),
-    )
+    return _fold_signature(base, k, seed)
 
 
 def band_hash(sig_col: Column, band: int, r: int, hash_fn: str = "xxhash64") -> Column:
@@ -215,6 +219,12 @@ def lsh_pairs_from_band_rows(banded: DataFrame, k: int, max_bucket_size: int = 1
     banded = banded.withColumn("_bn", F.count("*").over(bucket_w)).filter(
         F.col("_bn") <= max_bucket_size
     )
+    # Materialize the candidate frame ONCE before the self-join: both join
+    # sides otherwise carry the whole signature+banding subtree (verified
+    # in the round-6 plan dumps — no ReusedExchange materialized), so the
+    # signatures were computed and analyzed twice. The checkpoint stores
+    # O(band rows) — the same magnitude the banding shuffle already moves.
+    banded = banded.localCheckpoint()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -293,9 +303,12 @@ def ngram_jaccard_pairs(
         exploded = exploded.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("_df") <= max_doc_freq).drop("_df")
-    # set sizes AFTER the cap: both branches of the self-join share this
-    # exact subplan, so Catalyst reuses one exchange for the pair join
+    # set sizes AFTER the cap, then materialize once: the self-join's two
+    # branches otherwise each carry the scan → explode → two-window
+    # subtree (the hoped-for exchange reuse did not materialize — round-6
+    # plan dumps show both subtrees planned)
     exploded = exploded.withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    exploded = exploded.localCheckpoint()
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -425,6 +438,9 @@ def simhash_near_dups(
         banded = banded.withColumn(
             "_bn", F.count("*").over(Window.partitionBy("blk", "key"))
         ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    # one evaluation of the simhash vote expressions for both join sides
+    # (see lsh_pairs_from_band_rows)
+    banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=["blk", "key"])
@@ -666,6 +682,9 @@ def embedding_near_dups(
         bucketed = bucketed.withColumn(
             "_bn", F.count("*").over(Window.partitionBy("bkt"))
         ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    # one evaluation of the hyperplane fold expressions for both join
+    # sides (see lsh_pairs_from_band_rows)
+    bucketed = bucketed.localCheckpoint()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

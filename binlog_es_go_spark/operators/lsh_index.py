@@ -246,28 +246,29 @@ class LshIndex:
         independently guarded and idempotent; see the module docstring
         for the crash-between-commits argument.
 
-        The band events are persisted for the duration of the apply:
-        apply_batch makes several passes over its source (key pruning,
-        then the MERGE itself), and the persist guarantees the
-        signature's interpreted higher-order hash expressions evaluate
-        ONCE per batch rather than once per pass. (Profiling note: a
-        fresh session's FIRST evaluation of the md5 signature tree costs
-        ~4-5 s of codegen/JIT warmup on top of the ~1 s steady-state
-        eval for a 300-doc batch — cold timings of this method are
-        warmup-dominated, not merge-dominated.)"""
-        events = self.band_events(doc_events, id_col=id_col, text_col=text_col).persist()
-        try:
-            result = apply_batch(self.table, events, batch_id=batch_id, **apply_kwargs)
-            if self.sig_store == "table":
-                apply_batch(
-                    self.sigs,
-                    self.sig_events(doc_events, id_col=id_col, text_col=text_col),
-                    batch_id=batch_id,
-                    **apply_kwargs,
-                )
-            return result
-        finally:
-            events.unpersist()
+        The band events are materialized ONCE per batch with
+        ``localCheckpoint`` (round 6; was ``persist``): apply_batch makes
+        several passes over its source (key pruning, then the MERGE
+        itself), and beyond guaranteeing the signature's interpreted
+        higher-order hash expressions evaluate once per batch, the
+        checkpoint TRUNCATES THE LOGICAL PLAN — a cached-but-unpruned
+        plan still carried the full signature expression tree into every
+        downstream Catalyst analysis (~0.5-1.0 s of serial driver time
+        per pass at k=32/bands=8, measured with the round-6 job-anatomy
+        profiler). Fault-tolerance note: checkpointed blocks are not
+        recomputable; a lost executor fails the batch, and the streaming
+        tail's retry + the (offset, seq) guard absorb the replay — the
+        same contract every micro-batch already has."""
+        events = self.band_events(doc_events, id_col=id_col, text_col=text_col).localCheckpoint()
+        result = apply_batch(self.table, events, batch_id=batch_id, **apply_kwargs)
+        if self.sig_store == "table":
+            apply_batch(
+                self.sigs,
+                self.sig_events(doc_events, id_col=id_col, text_col=text_col),
+                batch_id=batch_id,
+                **apply_kwargs,
+            )
+        return result
 
     def apply_and_probe(
         self,
@@ -376,6 +377,9 @@ class LshIndex:
             touched = rows.join(hot, ["band", "bh"], "left_semi")
             bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
             capped = touched.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
+            # materialize the touched-bucket slice once (small: the
+            # probe's buckets only) — it feeds both sides of the pair join
+            capped = capped.localCheckpoint()
             probe = capped.join(ids, "id", "left_semi")
             a, b = probe.alias("a"), capped.alias("b")
             joined = (
@@ -587,9 +591,14 @@ class EmbeddingNearDupIndex:
         vec_col: str = "embedding",
         **apply_kwargs,
     ) -> MergeResult:
+        # localCheckpoint for the same two reasons as LshIndex
+        # .apply_doc_batch: one evaluation of the hyperplane fold
+        # expressions per batch, and a truncated plan for the 2+ analysis
+        # passes apply_batch makes over its source.
+        events = self.bucket_events(vec_events, id_col=id_col, vec_col=vec_col).localCheckpoint()
         result = apply_batch(
             self.table,
-            self.bucket_events(vec_events, id_col=id_col, vec_col=vec_col),
+            events,
             batch_id=batch_id,
             **apply_kwargs,
         )
@@ -648,6 +657,8 @@ class EmbeddingNearDupIndex:
             rows = rows.join(hot, ["tbl", "bkt"], "left_semi")
         bucket_n = F.count("*").over(Window.partitionBy("tbl", "bkt"))
         capped = rows.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
+        # both sides of the pair join read this frame — materialize once
+        capped = capped.localCheckpoint()
         left = capped.join(ids, "id", "left_semi") if probe_ids is not None else capped
         a, b = left.alias("a"), capped.alias("b")
         cond = F.col("a.id") < F.col("b.id") if probe_ids is None else F.col("a.id") != F.col("b.id")

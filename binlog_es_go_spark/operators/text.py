@@ -148,6 +148,8 @@ def rolling_fingerprints(
     keep_every — the same rule an ANSI oracle can evaluate, putting the
     winnowing pipeline under the cross-engine hash gate (keep_every <= 16).
     """
+    from binlog_es_go_spark.operators.functions import gram_strings
+
     w = words(col)
     k = F.size(w) - F.lit(window - 1)
     if hash_fn == "md5":
@@ -156,7 +158,9 @@ def rolling_fingerprints(
     else:
         h = lambda g: F.xxhash64(g)  # noqa: E731
         keep = lambda x: F.pmod(x, F.lit(keep_every)) == 0  # noqa: E731
+    # gram_strings: O(window) evaluations of the split subtree per row
+    # instead of O(len) (see its docstring — same values either way)
     grams = F.when(
-        k > 0, F.transform(F.sequence(F.lit(1), k), lambda i: h(F.concat_ws(" ", F.slice(w, i, window))))
+        k > 0, F.transform(gram_strings(col, window), h)
     ).otherwise(F.array(h(F.concat_ws(" ", w))))
     return F.sort_array(F.array_distinct(F.filter(grams, keep)))
