@@ -1865,7 +1865,6 @@ def _cdc_replay_events(spark, sf_dir):
     into a lake table; DuckDB computes the expected LWW final state."""
     from pyspark.sql import types as T
 
-    from binlog_es_go_spark.cdc.apply import apply_batch
     from binlog_es_go_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events")
@@ -1892,14 +1891,12 @@ def _cdc_replay_events(spark, sf_dir):
     )
     root = tempfile.mkdtemp(prefix="cdc_replay_events_")
     table = LakeTable.create(spark, root + "/t", payload, key_cols=["user_id"], n_buckets=16)
-    bounds = [(None, 4000), (4000, 8000), (8000, None)]
-    for i, (lo, hi) in enumerate(bounds):
-        batch = log
-        if lo is not None:
-            batch = batch.filter(F.col("offset") >= lo)
-        if hi is not None:
-            batch = batch.filter(F.col("offset") < hi)
-        apply_batch(table, batch, batch_id=i)
+    # replay_changelog == apply_batch once per offset range (same three
+    # guarded MERGE commits, same final state — its documented contract),
+    # with the three per-batch metadata jobs folded into one scan.
+    from binlog_es_go_spark.cdc.apply import replay_changelog
+
+    replay_changelog(table, log, boundaries=[4000, 8000])
     return table.read().select(
         "user_id",
         "last_offset",

@@ -118,6 +118,7 @@ def apply_batch(
     stream_partitions: int | None = None,
     affected_buckets: list[int] | None = None,
     precomputed_offsets: dict[str, int] | None = None,
+    precomputed_khashes: dict[int, BatchKeyInfo] | None = None,
     extra_properties: dict | None = None,
     write_mode: str = "auto",
     delta_max_batch_keys: int = 20_000,
@@ -152,9 +153,11 @@ def apply_batch(
     are collected as Observation metrics DURING the merge write itself —
     zero extra jobs per batch. Unknown -> a dedicated column-pruned scan.
 
-    ``affected_buckets`` + ``precomputed_offsets``: callers that already
-    know both (``replay_changelog`` computes them for ALL batches in one
-    scan) skip the per-batch metadata job entirely.
+    ``affected_buckets`` + ``precomputed_offsets`` (+ optionally
+    ``precomputed_khashes``): callers that already know them
+    (``replay_changelog`` computes all three for ALL batches in one scan)
+    skip the per-batch metadata job entirely while keeping file-granular
+    COW pruning and the small-batch write shape.
     """
     t0 = time.time()
     snap = table.snapshot()
@@ -168,6 +171,7 @@ def apply_batch(
     kinfo = None
     if affected_buckets is not None and precomputed_offsets is not None:
         offs, buckets = dict(precomputed_offsets), list(affected_buckets)
+        kinfo = precomputed_khashes
     elif prune_buckets:
         # incremental tail: a micro-batch touches few buckets — discover
         # them (plus per-partition offsets and the per-bucket key-hash
@@ -313,7 +317,7 @@ def replay_changelog(
     removes K-1 serial driver jobs, the dominant amortizable slice of the
     per-commit floor (BENCH.md "Round-3 serial-floor attack").
     """
-    from binlog_es_go_spark.lake.table import bucket_expr
+    from binlog_es_go_spark.lake.table import khash_expr
 
     snap = table.snapshot()
     flat = flatten_changelog(changelog)
@@ -324,21 +328,49 @@ def replay_changelog(
     # this stays a single node with O(K) vectorized comparisons per row.
     bounds_lit = F.lit([int(b) for b in boundaries])
     batch = F.size(F.filter(bounds_lit, lambda b: F.col("offset") >= b))
+    # Same grouped shape as _batch_metadata, plus the batch dimension:
+    # per-partition offsets AND the per-bucket key-hash sets (file-granular
+    # COW pruning + small-batch write shape) for every commit in one scan.
     rows = (
         flat.select(
             batch.alias("_batch"), "partition_id", "offset",
-            bucket_expr(snap.key_cols, snap.n_buckets).alias("_b"),
+            khash_expr(snap.key_cols).alias("_kh"),
         )
-        .groupBy("_batch", "partition_id")
-        .agg(F.max("offset").alias("mx"), F.collect_set("_b").alias("buckets"))
+        .withColumn("_b", F.pmod(F.col("_kh"), F.lit(snap.n_buckets)).cast("int"))
+        .groupBy("_batch", "partition_id", "_b")
+        .agg(
+            F.max("offset").alias("mx"),
+            F.slice(F.sort_array(F.collect_set("_kh")), 1, KEY_PRUNE_CAP + 1).alias("khs"),
+            F.min("_kh").alias("lo"),
+            F.max("_kh").alias("hi"),
+        )
         .collect()
     )
     per_batch_offs: dict[int, dict[str, int]] = {}
-    per_batch_buckets: dict[int, set[int]] = {}
+    per_batch_acc: dict[int, dict[int, list]] = {}
     for r in rows:
         i = int(r["_batch"])
-        per_batch_offs.setdefault(i, {})[str(r["partition_id"])] = int(r["mx"])
-        per_batch_buckets.setdefault(i, set()).update(r["buckets"])
+        p = str(r["partition_id"])
+        offs_i = per_batch_offs.setdefault(i, {})
+        offs_i[p] = max(offs_i.get(p, -(1 << 62)), int(r["mx"]))
+        b = int(r["_b"])
+        cur = per_batch_acc.setdefault(i, {}).setdefault(b, [set(), int(r["lo"]), int(r["hi"])])
+        cur[1] = min(cur[1], int(r["lo"]))
+        cur[2] = max(cur[2], int(r["hi"]))
+        if cur[0] is not None:
+            if len(r["khs"]) > KEY_PRUNE_CAP:
+                cur[0] = None
+            else:
+                cur[0].update(r["khs"])
+                if len(cur[0]) > KEY_PRUNE_CAP:
+                    cur[0] = None
+    per_batch_kinfo: dict[int, dict[int, BatchKeyInfo]] = {
+        i: {
+            b: BatchKeyInfo(khashes=sorted(s) if s is not None else None, lo=lo, hi=hi)
+            for b, (s, lo, hi) in acc.items()
+        }
+        for i, acc in per_batch_acc.items()
+    }
 
     results = []
     cuts = [None, *boundaries, None]
@@ -355,8 +387,9 @@ def replay_changelog(
             apply_batch(
                 table, part, mapper=mapper, batch_id=first_batch_id + i,
                 source=source, salt_partitions=salt_partitions,
-                affected_buckets=sorted(per_batch_buckets[i]),
+                affected_buckets=sorted(per_batch_kinfo[i]),
                 precomputed_offsets=per_batch_offs[i],
+                precomputed_khashes=per_batch_kinfo[i],
             )
         )
     return results

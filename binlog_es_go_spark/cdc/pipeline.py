@@ -271,6 +271,19 @@ def process_config_batch(
     for p in parts[1:]:
         synthetic = synthetic.unionByName(p)
 
+    # Materialize the synthetic changelog ONCE (micro-batch-sized by
+    # construction): apply_batch otherwise evaluates the whole recompute
+    # DAG — key extraction, the broadcast semi-join against the source of
+    # truth, the deleteOnMissing anti-join — twice (metadata scan + the
+    # MERGE itself), and every broadcast build is its own driver-blocking
+    # stage (measured ~10 mini-jobs per batch at sf0.1). AQE is off for
+    # the materialization for the same reason it is off inside the merge
+    # (lake/merge.scoped_merge_conf).
+    from binlog_es_go_spark.lake.merge import scoped_merge_conf
+
+    with scoped_merge_conf(spark):
+        synthetic = synthetic.localCheckpoint()
+
     return apply_batch(
         table, synthetic, mapper=mapper, batch_id=batch_id,
         source="recompute", salt_partitions=cfg.salt_partitions,
