@@ -739,13 +739,16 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def _embedding_neardup_brute(spark, sf_dir):
-    from binlog_es_go_spark.operators.similarity import cosine_similarity
+    from binlog_es_go_spark.operators.similarity import _dot, _norm
 
+    # per-side norms, one fold per ROW not per pair — bit-identical to
+    # cosine_similarity (the final dot/(na*nb) is the same float ops)
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("c"))

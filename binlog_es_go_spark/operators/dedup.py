@@ -336,55 +336,50 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = F.array_distinct(
         F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
     )
+    # md5 once per token (the inner transform's OUTPUT feeds the outer, so
+    # the hex digest is a bound value), split into the two 32-bit words
+    hexes = F.transform(toks, lambda t: F.md5(t))
     words = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        hexes,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
         ),
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), 32)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def votes(word_field: str):
-        # fold tokens into 32 per-bit vote counters: +1 for a set bit, -1
-        # for a clear bit
-        return F.aggregate(
-            words,
-            zeros,
-            lambda acc, w: F.zip_with(
-                acc,
-                F.array(
-                    *[
-                        F.shiftrightunsigned(w.getField(word_field), j)
-                        .bitwiseAND(F.lit(1))
-                        .cast("long") * F.lit(2) - F.lit(1)
-                        for j in range(32)
-                    ]
-                ),
-                lambda a, b: a + b,
-            ),
+    def bits64(w):
+        # per-bit +/-1 votes, lo word bits 0..31 then hi word bits 0..31
+        return F.array(
+            *(
+                [
+                    F.shiftrightunsigned(w.getField(f), j).bitwiseAND(F.lit(1)).cast("long")
+                    * F.lit(2) - F.lit(1)
+                    for f in ("lo", "hi")
+                    for j in range(32)
+                ]
+            )
         )
 
-    sig = df.select(
-        F.col(id_col).alias("id"), votes("lo").alias("_vlo"), votes("hi").alias("_vhi")
+    # ONE 64-wide fold (round 6; was two 32-wide folds, each re-reading —
+    # and re-hashing — the token array), then sign-bit reconstruction as a
+    # power fold over a literal weights array instead of 64 chained CASE
+    # WHENs: same bits, much smaller expression tree for Catalyst to
+    # analyze per query. Weight order matches the vote order; index 63 is
+    # the two's-complement sign bit. Intermediate sums stay in long range
+    # (positive powers sum to 2^63-1 before the final negative weight).
+    votes = F.aggregate(
+        words, zeros, lambda acc, w: F.zip_with(acc, bits64(w), lambda a, b: a + b)
     )
-    parts = []
-    for j in range(32):
-        parts.append(
-            F.when(F.element_at("_vlo", j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    for j in range(32, 63):
-        parts.append(
-            F.when(F.element_at("_vhi", j - 31) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    # bit 63 is the sign bit of the two's-complement long
-    parts.append(
-        F.when(F.element_at("_vhi", 32) > 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    powers = F.array(
+        *([F.lit(1 << j).cast("long") for j in range(63)] + [F.lit(-(2**63)).cast("long")])
     )
-    simhash = parts[0]
-    for p in parts[1:]:
-        simhash = simhash + p
-    return sig.select("id", simhash.alias("simhash"))
+    simhash = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -675,20 +670,24 @@ def embedding_near_dups(
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
+    norm_v = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
     bucketed = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), bucket_bits().alias("bkt")
-    )
+    ).withColumn("nrm", norm_v)
     if max_bucket_size is not None:
         bucketed = bucketed.withColumn(
             "_bn", F.count("*").over(Window.partitionBy("bkt"))
         ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-    # one evaluation of the hyperplane fold expressions for both join
-    # sides (see lsh_pairs_from_band_rows)
+    # one evaluation of the hyperplane fold expressions — and of each
+    # row's norm: per-side norms are bit-identical to the per-pair form
+    # (the final dot/(na*nb) is the same float ops) at 1/bucket-size of
+    # the fold work — for both join sides (see lsh_pairs_from_band_rows)
     bucketed = bucketed.localCheckpoint()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
-    cos = dot / (norm("a") * norm("b"))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, on="bkt")
         .filter(F.col("a.id") < F.col("b.id"))

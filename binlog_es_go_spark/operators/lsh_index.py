@@ -656,9 +656,14 @@ class EmbeddingNearDupIndex:
             hot = F.broadcast(rows.join(ids, "id", "left_semi").select("tbl", "bkt").distinct())
             rows = rows.join(hot, ["tbl", "bkt"], "left_semi")
         bucket_n = F.count("*").over(Window.partitionBy("tbl", "bkt"))
+        norm_v = F.sqrt(
+            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
         capped = rows.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket_size)
-        # both sides of the pair join read this frame — materialize once
-        capped = capped.localCheckpoint()
+        # both sides of the pair join read this frame — materialize once,
+        # with each row's norm precomputed (bit-identical: the final
+        # dot/(na*nb) expression is unchanged)
+        capped = capped.withColumn("_nrm", norm_v).localCheckpoint()
         left = capped.join(ids, "id", "left_semi") if probe_ids is not None else capped
         a, b = left.alias("a"), capped.alias("b")
         cond = F.col("a.id") < F.col("b.id") if probe_ids is None else F.col("a.id") != F.col("b.id")
@@ -670,12 +675,11 @@ class EmbeddingNearDupIndex:
                 F.greatest("a.id", "b.id").alias("id_b"),
                 F.col("a.v").alias("v_a"),
                 F.col("b.v").alias("v_b"),
+                F.col("a._nrm").alias("n_a"),
+                F.col("b._nrm").alias("n_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
         dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        norm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-        )
-        cos = dot / (norm("v_a") * norm("v_b"))
+        cos = dot / (F.col("n_a") * F.col("n_b"))
         return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)

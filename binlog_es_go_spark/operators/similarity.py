@@ -46,12 +46,22 @@ def cosine_topk(
     """
     # cast to double BEFORE any arithmetic: float32 products then widened
     # would diverge from an all-double oracle at the last bits
+    # norms ride each SIDE of the join (one fold per row), not the pair
+    # expression (one fold per pair): bit-identical output — the final
+    # division dot/(nd*nq) is the same float ops in the same order —
+    # at 1/|queries| and 1/|corpus| of the norm work respectively
     q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).withColumn("nq", _norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv"))
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("dv")
+    ).withColumn("nd", _norm(F.col("dv")))
     scored = c.crossJoin(q).select(
-        "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")
+        "query_id", "doc_id",
+        (_dot(F.col("dv"), F.col("qv")) / (F.col("nd") * F.col("nq"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -250,10 +260,13 @@ def ivf_kmeans_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.explode(probes).alias("cid"),
-    )
+    ).withColumn("nq", _norm(F.col("qv")))
 
-    scored = c.join(F.broadcast(q), on="cid").select(
-        "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")
+    # per-side norms (see cosine_topk) — bit-identical, 1/side-cardinality
+    # of the fold work
+    scored = c.withColumn("nd", _norm(F.col("dv"))).join(F.broadcast(q), on="cid").select(
+        "query_id", "doc_id",
+        (_dot(F.col("dv"), F.col("qv")) / (F.col("nd") * F.col("nq"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -295,8 +308,14 @@ def ivf_topk(
         q = q.select(
             "query_id", "qv", F.explode(_probe_buckets(F.col("bkt"), n_planes)).alias("bkt")
         )
-    scored = c.join(F.broadcast(q), on="bkt").select(
-        "query_id", "doc_id", cosine_similarity(F.col("dv"), F.col("qv")).alias("cosine")
+    # per-side norms (see cosine_topk) — bit-identical
+    scored = (
+        c.withColumn("nd", _norm(F.col("dv")))
+        .join(F.broadcast(q.withColumn("nq", _norm(F.col("qv")))), on="bkt")
+        .select(
+            "query_id", "doc_id",
+            (_dot(F.col("dv"), F.col("qv")) / (F.col("nd") * F.col("nq"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
