@@ -379,15 +379,20 @@ def _merge_once(
     # file_sizes; files with unknown size count one full target each).
     # Bulk paths (no/overflowed key info) keep the full width.
     n_tasks = max(1, n_out)
-    small = bool(kinfo) and bool(affected) and all(
+    narrow = bool(kinfo) and bool(affected) and all(
         kinfo.get(b) is not None and kinfo[b].khashes is not None for b in affected
     )
-    if small:
+    if narrow:
         sizes = snap.file_sizes or {}
         overlap_bytes = sum(sizes.get(rel, WRITE_TARGET_BYTES) for rel in overlap_files)
         n_keys = sum(len(kinfo[b].khashes) for b in affected)
         est_bytes = overlap_bytes + n_keys * 1024  # generous per-row estimate
         n_tasks = min(n_out, max(k_groups, -(-est_bytes // WRITE_TARGET_BYTES)))
+    # A/B knob (bench_extra experiments): force the single-exchange shape
+    # for bulk batches too (at full width) — full batch rows cross the one
+    # exchange instead of partial-top-1-reduced rows plus a winners-only
+    # exchange.
+    small = narrow or os.environ.get("BINLOG_SPARK_BULK_ONE_EXCHANGE") == "1"
 
     # ONE window resolves everything: max (offset, seq) per key wins —
     # ``last_seq`` is PERSISTED so a transaction split across micro-batches
