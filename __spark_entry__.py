@@ -1306,15 +1306,26 @@ def _config_recompute_pipeline(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
 
-    # source of truth: customers except custkey % 10 == 0 (deleted upstream)
-    customer.filter((F.col("c_custkey") % 10) != 0).select(
-        F.col("c_custkey").cast("long").alias("c_custkey"),
-        "c_name",
-        F.col("c_nationkey").cast("long").alias("c_nationkey"),
-    ).write.parquet(root + "/main_src")
-    nation.select(
-        F.col("n_nationkey").cast("long").alias("c_nationkey"), F.col("n_name").alias("nation_name")
-    ).write.parquet(root + "/nation_dim")
+    # source of truth: customers except custkey % 10 == 0 (deleted upstream).
+    # The two independent fixture writes overlap (guide §2.6: actions are
+    # only sequential because driver code calls them sequentially).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_main():
+        customer.filter((F.col("c_custkey") % 10) != 0).select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        ).write.parquet(root + "/main_src")
+
+    def _write_dim():
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+        ).write.parquet(root + "/nation_dim")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_main), pool.submit(_write_dim)]:
+            f.result()
 
     schema = T.StructType(
         [

@@ -115,12 +115,13 @@ def _fold_signature(base: Column, k: int, seed: int) -> Column:
     """min-fold of the k permutations over a base-hash array (see
     minhash_signature): acc_i <- min(acc_i, (h*a_i + b_i) mod p), zero
     acc = p (greater than any residue, and word_shingles never yields an
-    empty array, so the zero never survives)."""
-    perms = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _perm_params(k, seed)
-        ]
+    empty array, so the zero never survives). The (a, b) pairs ride two
+    array LITERALS zipped at plan time — 2 Literal nodes instead of 2k
+    (smaller tree for Catalyst per query, same values)."""
+    params = _perm_params(k, seed)
+    perms = F.arrays_zip(
+        F.lit([a for a, _ in params]).alias("a"),
+        F.lit([b for _, b in params]).alias("b"),
     )
     zero = F.array_repeat(F.lit(_MERSENNE).cast("long"), k)
     return F.aggregate(
@@ -371,9 +372,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     votes = F.aggregate(
         words, zeros, lambda acc, w: F.zip_with(acc, bits64(w), lambda a, b: a + b)
     )
-    powers = F.array(
-        *([F.lit(1 << j).cast("long") for j in range(63)] + [F.lit(-(2**63)).cast("long")])
-    )
+    powers = F.lit([1 << j for j in range(63)] + [-(2**63)])
     simhash = F.aggregate(
         F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -660,10 +659,11 @@ def embedding_near_dups(
     planes = rng.standard_normal((n_planes, dim))
 
     def bucket_bits() -> Column:
+        # one array literal per plane — see similarity.hyperplane_bucket
         bits = []
         for p in planes:
             dot = F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+                F.zip_with(vec_col, F.lit([float(x) for x in p]), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )

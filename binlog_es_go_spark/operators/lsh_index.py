@@ -508,10 +508,13 @@ class EmbeddingNearDupIndex:
 
     # ------------------------------------------------------------ maintain
     def _bucket_bits(self, vec_col, tbl: int):
+        # one array literal per plane (F.lit(list)): n_planes x dim
+        # per-component Literal nodes made Catalyst re-analyze a bloated
+        # tree on every batch (~0.7 s/pass measured at 2x4x64)
         bits = []
         for p in self._planes[tbl]:
             dot = F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+                F.zip_with(vec_col, F.lit([float(x) for x in p]), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )

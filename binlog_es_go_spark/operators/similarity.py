@@ -114,10 +114,16 @@ def cosine_topk_np(
 
 
 def hyperplane_bucket(vec_col: str, planes) -> Column:
-    """Sign-pattern bucket id over seeded hyperplanes (shared with dedup)."""
+    """Sign-pattern bucket id over seeded hyperplanes (shared with dedup).
+
+    Each plane rides ONE array literal (``F.lit(list)``), not one Literal
+    node per component — n_planes x dim literal nodes bloated the tree
+    Catalyst re-analyzes per query (round-6 anatomy: ~0.7 s of driver gap
+    per pass at 8 x 64 components). Same values.
+    """
     bits = []
     for p in planes:
-        dot = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+        dot = _dot(F.col(vec_col), F.lit([float(x) for x in p]))
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -164,9 +170,10 @@ def kmeans_centroids(vectors, n_centroids: int, iters: int = 8, seed: int = 42):
 def _centroid_dots(vec_col: str, centroids) -> Column:
     """Array of sequential-fold dot products against centroid literals —
     the same fold order as ``_dot``, so a SQL oracle using
-    list_sum(list_transform(...)) reproduces every bit."""
+    list_sum(list_transform(...)) reproduces every bit. One array literal
+    per centroid (see hyperplane_bucket)."""
     v = F.col(vec_col).cast("array<double>")
-    return F.array(*[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids])
+    return F.array(*[_dot(v, F.lit([float(x) for x in c])) for c in centroids])
 
 
 def kmeans_training_sample(
