@@ -409,7 +409,7 @@ def _merge_once(
     # partitionBy columns) AND is already the write layout: the guard
     # window inserts no second exchange and winners flow straight into
     # the bucket-aligned write — one narrow exchange total per commit
-    # (plan-asserted in tests/test_physical_plans.py). Bulk batches keep
+    # (plan-asserted in tests/test_r06_optimizations.py). Bulk batches keep
     # the round-3 two-exchange shape: window partitioned by key alone —
     # Spark 4 plans the row_number()==1 filter as WindowGroupLimit, a
     # map-side partial top-1 BEFORE the shuffle, so at most one candidate
