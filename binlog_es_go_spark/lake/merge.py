@@ -93,6 +93,12 @@ KEY_PRUNE_CAP = 1024
 # enough that a single rewritten file never serializes a whole commit.
 WRITE_TARGET_BYTES = 64 << 20
 
+# Rewrites at or under this estimate are SURGICAL: one write group per
+# bucket (see _merge_once) — range-splitting kilobyte commits into
+# k_groups files per bucket paid per-file writer overhead for layout
+# granularity a later compaction discards anyway.
+SMALL_COMMIT_BYTES = 8 << 20
+
 # Merge commits are planned with AQE disabled by default (round-6 floor
 # attack, measured ~0.1-0.2 s/commit at sf0.1): the merge already sizes
 # both of its exchanges itself (shuffle_partitions for the guard window,
@@ -387,6 +393,17 @@ def _merge_once(
         overlap_bytes = sum(sizes.get(rel, WRITE_TARGET_BYTES) for rel in overlap_files)
         n_keys = sum(len(kinfo[b].khashes) for b in affected)
         est_bytes = overlap_bytes + n_keys * 1024  # generous per-row estimate
+        # SURGICAL commits (rewriting under SMALL_COMMIT_BYTES) collapse
+        # to ONE write group per bucket: at k_groups range groups such a
+        # commit opened affected x k_groups parquet writers (~10-20 ms
+        # each of open/codec/footer — the dominant slice of a tiny
+        # commit's write stage) to lay out kilobyte files whose range
+        # granularity buys nothing (compaction folds them anyway). Big
+        # rewrites and delta folds keep the full k_groups granularity, so
+        # steady-state file-COW selectivity at scale is untouched.
+        if est_bytes <= SMALL_COMMIT_BYTES:
+            k_groups = 1
+            span = 1 << 32
         n_tasks = min(n_out, max(k_groups, -(-est_bytes // WRITE_TARGET_BYTES)))
     # A/B knob (bench_extra experiments): force the single-exchange shape
     # for bulk batches too (at full width) — full batch rows cross the one

@@ -244,11 +244,21 @@ def test_partial_compaction_folds_only_fragmented_buckets(spark, tmp_path):
     # ...then a single-key merge at a finer write-group split rewrites that
     # bucket's one overlapping file into up to 8 range files — the
     # k-mismatch fragmentation pattern (steady-state same-k merges replace
-    # files 1:1 and do NOT fragment; see test above)
-    apply_batch(
-        t, _events(spark, [(10_000, 0, 0, "update", "repo3", "f3.py", "u0")]),
-        batch_id=1, salt_partitions=16,
-    )
+    # files 1:1 and do NOT fragment; see test above). Round 6 collapses
+    # surgical commits to one write group per bucket, which REMOVES this
+    # fragmentation source — disable the collapse here so the compaction
+    # path under test still gets a fragmented fixture to fold.
+    import binlog_es_go_spark.lake.merge as _mg
+
+    prev_small = _mg.SMALL_COMMIT_BYTES
+    _mg.SMALL_COMMIT_BYTES = 0
+    try:
+        apply_batch(
+            t, _events(spark, [(10_000, 0, 0, "update", "repo3", "f3.py", "u0")]),
+            batch_id=1, salt_partitions=16,
+        )
+    finally:
+        _mg.SMALL_COMMIT_BYTES = prev_small
     snap = t.snapshot()
     counts = {b: len(fl) for b, fl in snap.buckets.items()}
     frag = small_file_buckets(t, max_files_per_bucket=5)
