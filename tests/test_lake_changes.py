@@ -135,8 +135,19 @@ def test_snapshot_diff_reads_only_changed_files(spark, tmp_path):
     log = generate_changelog(spark, 2000, n_repos=20, paths_per_repo=10, seed=21)
     log.cache().count()
     t = LakeTable.create(spark, str(tmp_path / "fsrc"), PAYLOAD, key_cols=["repo", "path"], n_buckets=4)
-    # 8 range files per bucket
-    apply_batch(t, log, batch_id=0, salt_partitions=32)                     # -> v1
+    # 8 range files per bucket. Round 6 collapses surgical (small)
+    # commits to one file per bucket — pin the pre-collapse behavior for
+    # THIS fixture build: the subject under test is the diff's file-level
+    # scan pruning over a multi-file table, which needs the spread-out
+    # layout a big table would have.
+    import binlog_es_go_spark.lake.merge as _mg
+
+    prev_small = _mg.SMALL_COMMIT_BYTES
+    _mg.SMALL_COMMIT_BYTES = 0
+    try:
+        apply_batch(t, log, batch_id=0, salt_partitions=32)                 # -> v1
+    finally:
+        _mg.SMALL_COMMIT_BYTES = prev_small
     v1 = t.current_version()
     n_files_v1 = sum(len(fl) for fl in t.snapshot().buckets.values())
     assert n_files_v1 >= 16, f"need a multi-file table, got {n_files_v1}"
